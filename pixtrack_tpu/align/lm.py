@@ -1,0 +1,223 @@
+"""Damped Gauss-Newton / Levenberg-Marquardt feature-metric pose alignment.
+
+This is the hot core of the framework — the TPU-native replacement for
+pixloc's ``LearnedOptimizer`` + ``PixTrackOptimizer`` (reference
+pixtrack/optimizers/pixtrack_optimizer.py:6-18, conf at
+pixtrack/pose_trackers/pixloc_tracker_r9.py:43-58) and the residual machinery
+of ``BaseRefiner.refine_pose_using_features``.
+
+Design (TPU-first):
+- one jitted ``lax.while_loop`` per pyramid level; every iteration processes
+  ALL points x channels as dense batched tensors (no data-dependent shapes);
+- early stop follows the reference rule exactly — stop when ||grad|| <
+  grad_stop OR (dt < dt_stop AND dR < dR_stop) — implemented as a loop-carried
+  flag (masked convergence) rather than a host sync;
+- classic adaptive LM damping (multiplicative lambda on accept/reject)
+  replaces pixloc's *learned* damping — no checkpoint exists to port, and
+  adaptive damping is strictly more robust at equal cost per iteration;
+- robust Cauchy weighting on per-point residual norms replaces the learned
+  robust cost, with optional confidence maps multiplied in (the reference's
+  interpolated uncertainties).
+
+All shapes static: points padded + masked (SceneModel.pack_points).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from pixtrack_tpu.align.interpolate import interpolate_features, interpolate_scalar
+from pixtrack_tpu.geometry.camera import Camera
+from pixtrack_tpu.geometry.pose import Pose
+from pixtrack_tpu.geometry.rotation import so3_hat
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignConfig:
+    """Static LM configuration (hashable -> usable as a jit static arg)."""
+
+    num_iters: int = 150          # reference r9:47
+    lambda_init: float = 1e-2     # pixloc LearnedOptimizer lambda_
+    lambda_up: float = 10.0
+    lambda_down: float = 0.1
+    lambda_min: float = 1e-7
+    lambda_max: float = 1e4
+    grad_stop_criteria: float = 1e-4   # pixloc defaults, used by early_stop
+    dt_stop_criteria: float = 5e-3
+    dR_stop_criteria: float = 5e-4     # degrees
+    robust_c: float = 0.5         # Cauchy scale on residual norm (unit-norm feats)
+    use_confidence: bool = True
+    eps: float = 1e-8
+
+
+@flax.struct.dataclass
+class LevelData:
+    """Per-pyramid-level observation data (static shapes, padded + masked).
+
+    p3d:    (N, 3) world points.
+    f_ref:  (N, C) reference descriptors for each point.
+    w_ref:  (N,) reference confidence per point (1.0 if none).
+    mask:   (N,) bool — padding / track validity.
+    fmap:   (H, W, C) query feature map for this level.
+    conf:   (H, W) query confidence map (or None).
+    scale:  (2,) (sx, sy) original-image -> feature coords multipliers.
+    """
+
+    p3d: jax.Array
+    f_ref: jax.Array
+    w_ref: jax.Array
+    mask: jax.Array
+    fmap: jax.Array
+    conf: Optional[jax.Array]
+    scale: jax.Array
+
+
+@flax.struct.dataclass
+class AlignState:
+    """Result of one level (or full pyramid) of alignment."""
+
+    T: Pose
+    cost: jax.Array           # mean robust cost over valid points
+    num_valid: jax.Array      # number of contributing points
+    num_iters: jax.Array      # iterations actually run
+    converged: jax.Array      # early-stop flag
+    grad_norm: jax.Array
+
+
+def _residuals_and_jacobian(
+    T: Pose, data: LevelData, camera: Camera, cfg: AlignConfig,
+    compute_jac: bool = True,
+):
+    """Dense residual/Jacobian build over all points.
+
+    r    (N, C)   residuals (query - reference features)
+    J    (N, C, 6) d r / d (w, v) for the left-multiplicative se(3) delta
+    w    (N,)     total per-point weights (robust x confidence x valid)
+    """
+    p_cam = T.transform(data.p3d)  # (N, 3)
+    p2d_img, visible = camera.project(p_cam)
+    p2d = p2d_img * data.scale  # feature-level coords
+
+    f_q, grad, in_map = interpolate_features(data.fmap, p2d, compute_grad=compute_jac)
+    r = f_q - data.f_ref  # (N, C)
+    valid = data.mask & visible & in_map
+
+    e2 = jnp.sum(r * r, axis=-1)  # (N,)
+    w_robust = 1.0 / (1.0 + e2 / (cfg.robust_c**2))
+    w = jnp.where(valid, w_robust, 0.0)
+    if cfg.use_confidence:
+        w = w * data.w_ref
+        if data.conf is not None:
+            cq, _ = interpolate_scalar(data.conf, p2d)
+            w = w * cq
+
+    if not compute_jac:
+        return r, None, w, valid, e2
+
+    # d p_cam / d delta, delta = (w_rot, v): [-hat(p_cam) | I]
+    N = p_cam.shape[0]
+    J_pcam = jnp.concatenate(
+        [-so3_hat(p_cam), jnp.broadcast_to(jnp.eye(3, dtype=p_cam.dtype), (N, 3, 3))],
+        axis=-1,
+    )  # (N, 3, 6)
+    J_proj = camera.project_jacobian(p_cam) * data.scale[None, :, None]  # (N, 2, 3)
+    J_pix = jnp.einsum("nij,njk->nik", J_proj, J_pcam)  # (N, 2, 6)
+    J = jnp.einsum("ncd,ndk->nck", grad, J_pix)  # (N, C, 6)
+    return r, J, w, valid, e2
+
+
+def _mean_cost(e2, w_valid_mask, valid):
+    n = jnp.maximum(jnp.sum(valid), 1)
+    robust = e2 / (1.0 + e2)  # bounded cost for comparison across frames
+    return jnp.sum(jnp.where(valid, robust, 0.0)) / n
+
+
+def residual_cost(T: Pose, data: LevelData, camera: Camera, cfg: AlignConfig):
+    """Mean robust cost at pose T (no Jacobian) — used for accept/reject and
+    for the tracker's adaptive cost threshold (r9:251-263)."""
+    _, _, _, valid, e2 = _residuals_and_jacobian(T, data, camera, cfg, compute_jac=False)
+    return _mean_cost(e2, None, valid), jnp.sum(valid)
+
+
+def align_level(
+    T_init: Pose, data: LevelData, camera: Camera, cfg: AlignConfig
+) -> AlignState:
+    """Run LM on one pyramid level. Fully jittable; static iteration bound."""
+
+    def compute_step(T, lam):
+        r, J, w, valid, e2 = _residuals_and_jacobian(T, data, camera, cfg)
+        cost = _mean_cost(e2, w, valid)
+        wr = r * w[:, None]  # (N, C)
+        g = jnp.einsum("nck,nc->k", J, wr)  # (6,)
+        H = jnp.einsum("nck,ncl->kl", J * w[:, None, None], J)  # (6, 6)
+        diag = jnp.diagonal(H)
+        H_damped = H + (lam * diag + cfg.eps) * jnp.eye(6, dtype=H.dtype)
+        delta = -jax.scipy.linalg.solve(H_damped, g, assume_a="pos")
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        return delta, g, cost, valid
+
+    def body(carry):
+        T, lam, best_cost, i, done, gnorm = carry
+        delta, g, cost, valid = compute_step(T, lam)
+        T_new = T.retract(delta)
+        new_cost, _ = residual_cost(T_new, data, camera, cfg)
+        accept = new_cost < cost
+
+        T_next = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), T_new, T
+        )
+        lam_next = jnp.clip(
+            jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up),
+            cfg.lambda_min,
+            cfg.lambda_max,
+        )
+
+        # Reference early-stop rule (pixtrack_optimizer.py:6-18):
+        # stop when ||grad|| small OR the accepted step is small.
+        gnorm = jnp.linalg.norm(g)
+        dR, dt = Pose.exp(delta).magnitude()
+        small_grad = gnorm < cfg.grad_stop_criteria
+        small_step = accept & (dt < cfg.dt_stop_criteria) & (dR < cfg.dR_stop_criteria)
+        done_next = done | small_grad | small_step
+
+        best = jnp.minimum(best_cost, new_cost)
+        return (T_next, lam_next, best, i + 1, done_next, gnorm)
+
+    def cond(carry):
+        _, _, _, i, done, _ = carry
+        return (i < cfg.num_iters) & (~done)
+
+    lam0 = jnp.asarray(cfg.lambda_init, jnp.float32)
+    cost0, nvalid0 = residual_cost(T_init, data, camera, cfg)
+    carry = (T_init, lam0, cost0, jnp.asarray(0), jnp.asarray(False), jnp.asarray(jnp.inf, jnp.float32))
+    T, lam, best_cost, iters, done, gnorm = jax.lax.while_loop(cond, body, carry)
+    cost_final, nvalid = residual_cost(T, data, camera, cfg)
+    return AlignState(
+        T=T, cost=cost_final, num_valid=nvalid, num_iters=iters,
+        converged=done, grad_norm=gnorm,
+    )
+
+
+def align_pyramid(
+    T_init: Pose,
+    levels: Tuple[LevelData, ...],
+    camera: Camera,
+    cfg: AlignConfig,
+) -> Tuple[AlignState, Tuple[AlignState, ...]]:
+    """Coarse-to-fine alignment over pyramid levels.
+
+    ``levels`` must be ordered fine -> coarse (the FeaturePyramid contract);
+    iteration runs reversed, like the reference refiner.
+    """
+    states = []
+    T = T_init
+    for data in reversed(levels):
+        st = align_level(T, data, camera, cfg)
+        T = st.T
+        states.append(st)
+    return states[-1], tuple(states)

@@ -1,0 +1,105 @@
+"""Reference-feature extraction: per-3D-point descriptors from reference views.
+
+Replaces the reference's ``PoseTrackerRefiner.extract_reference_features`` +
+``interp_sparse_observations`` + ``aggregate_features``
+(pixtrack/localization/pixloc_pose_refiners.py:273-396): project the model's
+3D points into a reference view, bilinearly sample the view's feature pyramid
+at the projections, and optionally average observations across several views.
+
+Everything is batched over points and jittable; multi-view aggregation is a
+masked mean over a views axis instead of a python dict walk.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pixtrack_tpu.align.interpolate import interpolate_features, interpolate_scalar
+from pixtrack_tpu.features.pyramid import FeaturePyramid
+from pixtrack_tpu.geometry.camera import Camera
+from pixtrack_tpu.geometry.pose import Pose
+
+
+def observe_points(
+    pyramid: FeaturePyramid,
+    T_w2c: Pose,
+    camera: Camera,
+    p3d: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
+    """Sample per-level descriptors for world points in one reference view.
+
+    Returns (features, weights, valids): tuples over levels of
+    (N, C_l) descriptors, (N,) confidence weights, (N,) validity masks.
+    """
+    p_cam = T_w2c.transform(p3d)
+    p2d_img, visible = camera.project(p_cam)
+    if mask is not None:
+        visible = visible & mask
+
+    feats, weights, valids = [], [], []
+    for lvl in range(pyramid.num_levels):
+        scale = jnp.asarray(pyramid.scales[lvl], jnp.float32)
+        p2d = p2d_img * scale
+        f, _, inmap = interpolate_features(pyramid.levels[lvl], p2d, compute_grad=False)
+        valid = visible & inmap
+        if pyramid.confidences is not None:
+            w, _ = interpolate_scalar(pyramid.confidences[lvl], p2d)
+        else:
+            w = jnp.ones_like(valid, jnp.float32)
+        feats.append(jnp.where(valid[:, None], f, 0.0))
+        weights.append(jnp.where(valid, w, 0.0))
+        valids.append(valid)
+    return tuple(feats), tuple(weights), tuple(valids)
+
+
+def aggregate_observations(
+    feats_views: jax.Array, weights_views: jax.Array, valids_views: jax.Array
+):
+    """Average multi-view observations per point (average_observations=True).
+
+    Args are stacked over a leading views axis: (V, N, C), (V, N), (V, N).
+    Returns (f (N, C), w (N,), valid (N,)).
+    """
+    wv = jnp.where(valids_views, weights_views, 0.0)  # (V, N)
+    den = jnp.maximum(jnp.sum(wv, axis=0), 1e-8)  # (N,)
+    f = jnp.einsum("vn,vnc->nc", wv, feats_views) / den[:, None]
+    valid = jnp.any(valids_views, axis=0)
+    w = den / jnp.maximum(jnp.sum(valids_views, axis=0), 1)
+    return f, w, valid
+
+
+def build_level_data(
+    pyramid_query: FeaturePyramid,
+    f_ref,
+    w_ref,
+    valid_ref,
+    p3d: jax.Array,
+    mask: jax.Array,
+):
+    """Assemble per-level LevelData tuples for align_pyramid from a query
+    pyramid and per-level reference observations."""
+    from pixtrack_tpu.align.lm import LevelData
+
+    levels = []
+    for lvl in range(pyramid_query.num_levels):
+        conf = (
+            pyramid_query.confidences[lvl]
+            if pyramid_query.confidences is not None
+            else None
+        )
+        levels.append(
+            LevelData(
+                p3d=p3d,
+                f_ref=f_ref[lvl],
+                w_ref=w_ref[lvl],
+                mask=mask & valid_ref[lvl],
+                fmap=pyramid_query.levels[lvl],
+                conf=conf,
+                scale=jnp.asarray(pyramid_query.scales[lvl], jnp.float32),
+            )
+        )
+    return tuple(levels)

@@ -1,0 +1,106 @@
+"""Weight-free multiscale gradient-feature extractor.
+
+Stands in for the learned UNet when no trained weights exist (no checkpoint
+is downloadable in this environment — reference setup.sh:14-21 fetches
+pixloc_megadepth over the network). Produces a smooth, locally distinctive
+feature field good enough for feature-metric LM alignment: per level, a
+Gaussian-smoothed intensity channel plus x/y gradients at two blur widths.
+Smoothness matters: the LM aligner linearizes the feature field, so features
+must have a usable basin of attraction — hence the heavy blur at coarse
+levels (same role as the UNet's receptive field).
+
+Entirely jittable; used by default in tests and as the tracker fallback.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pixtrack_tpu.features.pyramid import FeaturePyramid
+
+
+def _gaussian_kernel1d(sigma: float, radius: int) -> jax.Array:
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+def gaussian_blur(img: jax.Array, sigma: float) -> jax.Array:
+    """Separable Gaussian blur on (H, W) or (H, W, C), reflect-padded."""
+    radius = max(1, int(3.0 * sigma + 0.5))
+    k = _gaussian_kernel1d(sigma, radius)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    H, W, C = img.shape
+    x = jnp.moveaxis(img, -1, 0)  # (C, H, W)
+    x = jnp.pad(x, ((0, 0), (radius, radius), (radius, radius)), mode="edge")
+    # rows
+    x = jax.vmap(
+        lambda ch: jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(ch)
+    )(x)
+    # cols
+    x = jnp.swapaxes(x, 1, 2)
+    x = jax.vmap(
+        lambda ch: jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(ch)
+    )(x)
+    x = jnp.swapaxes(x, 1, 2)
+    out = jnp.moveaxis(x, 0, -1)
+    return out[..., 0] if squeeze else out
+
+
+def _gradients(img: jax.Array):
+    """Central-difference gradients of (H, W) -> (gx, gy)."""
+    gx = jnp.gradient(img, axis=1)
+    gy = jnp.gradient(img, axis=0)
+    return gx, gy
+
+
+def _level_features(gray: jax.Array) -> jax.Array:
+    """8-channel feature map from a grayscale image."""
+    s1 = gaussian_blur(gray, 1.0)
+    s2 = gaussian_blur(gray, 3.0)
+    g1x, g1y = _gradients(s1)
+    g2x, g2y = _gradients(s2)
+    # difference-of-gaussians adds a band-pass channel
+    dog = s1 - s2
+    feats = jnp.stack([s1, s2, g1x * 4.0, g1y * 4.0, g2x * 8.0, g2y * 8.0, dog * 4.0,
+                       jnp.sqrt(g1x**2 + g1y**2 + 1e-8) * 4.0], axis=-1)
+    return feats.astype(jnp.float32)
+
+
+def _downsample(img: jax.Array, factor: int) -> jax.Array:
+    """Anti-aliased downsample of (H, W) by an integer factor."""
+    blurred = gaussian_blur(img, factor * 0.6)
+    return blurred[::factor, ::factor]
+
+
+class HandcraftedExtractor:
+    """Callable with the same pyramid contract as the UNet (strides 1, 4, 16)."""
+
+    scales = (1, 4, 16)
+
+    def __init__(self, strides=(1, 4, 16)):
+        self.scales = tuple(strides)
+
+    def __call__(self, image: jax.Array) -> FeaturePyramid:
+        """image: (H, W, 3) or (H, W), float32 in [0, 1]."""
+        if image.ndim == 3:
+            gray = image @ jnp.asarray([0.299, 0.587, 0.114], image.dtype)
+        else:
+            gray = image
+        gray = gray.astype(jnp.float32)
+        levels = []
+        confs = []
+        for s in self.scales:
+            g = gray if s == 1 else _downsample(gray, s)
+            f = _level_features(g)
+            levels.append(f)
+            # confidence: gradient magnitude (texture-ness), squashed
+            confs.append(jnp.tanh(f[..., 7] * 2.0))
+        return FeaturePyramid(
+            levels=tuple(levels),
+            scales=tuple((1.0 / s, 1.0 / s) for s in self.scales),
+            confidences=tuple(confs),
+        )
