@@ -52,6 +52,8 @@ class AlignConfig:
     dR_stop_criteria: float = 5e-4     # degrees
     robust_c: float = 0.5         # Cauchy scale on residual norm (unit-norm feats)
     use_confidence: bool = True
+    confidence_floor: float = 0.2  # keeps weights from collapsing (see
+                                   # observations.observe_points docstring)
     eps: float = 1e-8
 
 
@@ -97,7 +99,13 @@ def _residuals_and_jacobian(
 
     r    (N, C)   residuals (query - reference features)
     J    (N, C, 6) d r / d (w, v) for the left-multiplicative se(3) delta
-    w    (N,)     total per-point weights (robust x confidence x valid)
+    w    (N,)     IRLS weights (static view weights x Cauchy robust weight)
+
+    The IRLS weight is exactly d rho / d e2 of the objective used by
+    ``residual_cost`` (static-weighted Cauchy cost), so the normal equations
+    and the accept/reject test optimize the SAME scalar — an inconsistent
+    pair silently vetoes good steps (observed: silhouette points with ~zero
+    optimization weight still dominated an unweighted accept metric).
     """
     p_cam = T.transform(data.p3d)  # (N, 3)
     p2d_img, visible = camera.project(p_cam)
@@ -108,16 +116,19 @@ def _residuals_and_jacobian(
     valid = data.mask & visible & in_map
 
     e2 = jnp.sum(r * r, axis=-1)  # (N,)
-    w_robust = 1.0 / (1.0 + e2 / (cfg.robust_c**2))
-    w = jnp.where(valid, w_robust, 0.0)
+    # static per-point weights: validity x reference/query confidences
+    w_static = jnp.where(valid, 1.0, 0.0)
     if cfg.use_confidence:
-        w = w * data.w_ref
+        w_static = w_static * data.w_ref
         if data.conf is not None:
             cq, _ = interpolate_scalar(data.conf, p2d)
-            w = w * cq
+            fl = cfg.confidence_floor
+            w_static = w_static * (fl + (1.0 - fl) * jnp.clip(cq, 0.0, 1.0))
+    w_robust = 1.0 / (1.0 + e2 / (cfg.robust_c**2))
+    w = w_static * w_robust
 
     if not compute_jac:
-        return r, None, w, valid, e2
+        return r, None, w, valid, (e2, w_static)
 
     # d p_cam / d delta, delta = (w_rot, v): [-hat(p_cam) | I]
     N = p_cam.shape[0]
@@ -128,20 +139,28 @@ def _residuals_and_jacobian(
     J_proj = camera.project_jacobian(p_cam) * data.scale[None, :, None]  # (N, 2, 3)
     J_pix = jnp.einsum("nij,njk->nik", J_proj, J_pcam)  # (N, 2, 6)
     J = jnp.einsum("ncd,ndk->nck", grad, J_pix)  # (N, C, 6)
-    return r, J, w, valid, e2
+    return r, J, w, valid, (e2, w_static)
 
 
-def _mean_cost(e2, w_valid_mask, valid):
+def _mean_cost(e2, w_static, valid, cfg: AlignConfig):
+    """Static-weighted Cauchy cost, normalized per valid point.
+
+    rho(e2) = c^2 * log(1 + e2 / c^2); d rho / d e2 = 1 / (1 + e2 / c^2),
+    which is exactly the robust IRLS weight used in the normal equations.
+    """
+    c2 = cfg.robust_c**2
+    rho = c2 * jnp.log1p(e2 / c2)
     n = jnp.maximum(jnp.sum(valid), 1)
-    robust = e2 / (1.0 + e2)  # bounded cost for comparison across frames
-    return jnp.sum(jnp.where(valid, robust, 0.0)) / n
+    return jnp.sum(w_static * rho) / n
 
 
 def residual_cost(T: Pose, data: LevelData, camera: Camera, cfg: AlignConfig):
-    """Mean robust cost at pose T (no Jacobian) — used for accept/reject and
-    for the tracker's adaptive cost threshold (r9:251-263)."""
-    _, _, _, valid, e2 = _residuals_and_jacobian(T, data, camera, cfg, compute_jac=False)
-    return _mean_cost(e2, None, valid), jnp.sum(valid)
+    """Cost at pose T (no Jacobian) — the LM accept/reject scalar and the
+    tracker's adaptive cost threshold (r9:251-263)."""
+    _, _, _, valid, (e2, w_static) = _residuals_and_jacobian(
+        T, data, camera, cfg, compute_jac=False
+    )
+    return _mean_cost(e2, w_static, valid, cfg), jnp.sum(valid)
 
 
 def align_level(
@@ -150,8 +169,8 @@ def align_level(
     """Run LM on one pyramid level. Fully jittable; static iteration bound."""
 
     def compute_step(T, lam):
-        r, J, w, valid, e2 = _residuals_and_jacobian(T, data, camera, cfg)
-        cost = _mean_cost(e2, w, valid)
+        r, J, w, valid, (e2, w_static) = _residuals_and_jacobian(T, data, camera, cfg)
+        cost = _mean_cost(e2, w_static, valid, cfg)
         wr = r * w[:, None]  # (N, C)
         g = jnp.einsum("nck,nc->k", J, wr)  # (6,)
         H = jnp.einsum("nck,ncl->kl", J * w[:, None, None], J)  # (6, 6)

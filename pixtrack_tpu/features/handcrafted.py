@@ -57,16 +57,25 @@ def _gradients(img: jax.Array):
     return gx, gy
 
 
-def _level_features(gray: jax.Array) -> jax.Array:
-    """8-channel feature map from a grayscale image."""
+def _level_features(gray: jax.Array, color: jax.Array | None) -> jax.Array:
+    """Feature map from grayscale + optional color channels.
+
+    Color is the most view-invariant signal available without learning
+    (surface-attached, shading-free for NeRF renders); gradients add
+    localization sharpness; blur sets the basin of attraction.
+    """
     s1 = gaussian_blur(gray, 1.0)
     s2 = gaussian_blur(gray, 3.0)
     g1x, g1y = _gradients(s1)
     g2x, g2y = _gradients(s2)
     # difference-of-gaussians adds a band-pass channel
     dog = s1 - s2
-    feats = jnp.stack([s1, s2, g1x * 4.0, g1y * 4.0, g2x * 8.0, g2y * 8.0, dog * 4.0,
-                       jnp.sqrt(g1x**2 + g1y**2 + 1e-8) * 4.0], axis=-1)
+    chans = [s1, s2, g1x * 4.0, g1y * 4.0, g2x * 8.0, g2y * 8.0, dog * 4.0,
+             jnp.sqrt(g1x**2 + g1y**2 + 1e-8) * 4.0]
+    feats = jnp.stack(chans, axis=-1)
+    if color is not None:
+        c1 = gaussian_blur(color, 1.0) * 2.0
+        feats = jnp.concatenate([feats, c1], axis=-1)
     return feats.astype(jnp.float32)
 
 
@@ -88,14 +97,19 @@ class HandcraftedExtractor:
         """image: (H, W, 3) or (H, W), float32 in [0, 1]."""
         if image.ndim == 3:
             gray = image @ jnp.asarray([0.299, 0.587, 0.114], image.dtype)
+            color = image.astype(jnp.float32)
         else:
             gray = image
+            color = None
         gray = gray.astype(jnp.float32)
         levels = []
         confs = []
         for s in self.scales:
             g = gray if s == 1 else _downsample(gray, s)
-            f = _level_features(g)
+            c = None
+            if color is not None:
+                c = color if s == 1 else _downsample(color, s)
+            f = _level_features(g, c)
             levels.append(f)
             # confidence: gradient magnitude (texture-ness), squashed
             confs.append(jnp.tanh(f[..., 7] * 2.0))

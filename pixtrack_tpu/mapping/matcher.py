@@ -1,0 +1,111 @@
+"""Descriptor matching: mutual nearest neighbors with ratio test.
+
+Fills the hloc SuperGlue matching role (reference run_reconstruction.py:41-50
+uses SuperGlue 'indoor' weights — unreachable network download). For the
+asset pipeline's small-baseline rendered views, MNN + Lowe ratio on the
+normalized patch descriptors is reliable; the attentional matcher
+architecture (pixtrack_tpu.mapping.attention_matcher) plugs into the same
+(matches0, scores0) contract when trained weights exist.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def _match(desc0: jax.Array, desc1: jax.Array):
+    # cosine similarity (descriptors are L2 normalized)
+    sim = jnp.dot(desc0, desc1.T, precision=jax.lax.Precision.HIGHEST)  # (N0, N1)
+    best1 = jnp.argmax(sim, axis=1)
+    best0 = jnp.argmax(sim, axis=0)
+    s_best = jnp.max(sim, axis=1)
+    # second-best for the ratio test
+    masked = sim.at[jnp.arange(sim.shape[0]), best1].set(-jnp.inf)
+    s_second = jnp.max(masked, axis=1)
+    mutual = best0[best1] == jnp.arange(desc0.shape[0])
+    return best1, s_best, s_second, mutual
+
+
+def match_descriptors(
+    desc0: np.ndarray,
+    desc1: np.ndarray,
+    min_score: float = 0.6,
+    ratio: float = 0.95,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Match desc0 -> desc1.
+
+    Returns (matches0 (N0,) int32 with -1 for unmatched, scores0 (N0,)).
+    Keep iff mutual NN, similarity >= min_score, and distance-ratio passes
+    (second-best similarity sufficiently below best).
+    """
+    if len(desc0) == 0 or len(desc1) == 0:
+        return np.full(len(desc0), -1, np.int32), np.zeros(len(desc0), np.float32)
+    best1, s_best, s_second, mutual = _match(
+        jnp.asarray(desc0, jnp.float32), jnp.asarray(desc1, jnp.float32)
+    )
+    best1 = np.asarray(best1)
+    s_best = np.asarray(s_best)
+    s_second = np.asarray(s_second)
+    mutual = np.asarray(mutual)
+    # ratio in distance space: d^2 = 2 - 2 s  ->  require d_best < r * d_second
+    d_best = np.sqrt(np.maximum(2.0 - 2.0 * s_best, 0.0))
+    d_second = np.sqrt(np.maximum(2.0 - 2.0 * s_second, 1e-12))
+    ok = mutual & (s_best >= min_score) & (d_best < ratio * d_second)
+    matches0 = np.where(ok, best1, -1).astype(np.int32)
+    scores0 = np.where(ok, s_best, 0.0).astype(np.float32)
+    return matches0, scores0
+
+
+def exhaustive_pairs(names: Sequence[str]) -> List[Tuple[str, str]]:
+    """All unordered pairs (hloc pairs_from_exhaustive role)."""
+    return list(itertools.combinations(names, 2))
+
+
+def epipolar_filter(
+    kp0: np.ndarray,
+    kp1: np.ndarray,
+    matches0: np.ndarray,
+    K0: np.ndarray,
+    K1: np.ndarray,
+    R01: np.ndarray,
+    t01: np.ndarray,
+    threshold_px: float = 3.0,
+) -> np.ndarray:
+    """Geometric verification against a KNOWN relative pose (the asset
+    pipeline always has poses when it matches — NeRF re-renders and mesh
+    renders are triangulated against given poses, reference
+    create_nerf_dataset_and_sfm.py:95-105).
+
+    R01, t01: pose of cam1 relative to cam0 (x1 = R01 x0 + t01).
+    Returns filtered matches0 (symmetric epipolar distance < threshold).
+    """
+    idx0 = np.nonzero(matches0 >= 0)[0]
+    if len(idx0) == 0:
+        return matches0
+    idx1 = matches0[idx0]
+    tx = np.array(
+        [
+            [0, -t01[2], t01[1]],
+            [t01[2], 0, -t01[0]],
+            [-t01[1], t01[0], 0],
+        ]
+    )
+    E = tx @ R01
+    F = np.linalg.inv(K1).T @ E @ np.linalg.inv(K0)
+    x0 = np.concatenate([kp0[idx0], np.ones((len(idx0), 1))], axis=1)
+    x1 = np.concatenate([kp1[idx1], np.ones((len(idx1), 1))], axis=1)
+    Fx0 = x0 @ F.T  # lines in image 1
+    Ftx1 = x1 @ F  # lines in image 0
+    num = np.abs(np.sum(x1 * Fx0, axis=1))
+    d1 = num / np.linalg.norm(Fx0[:, :2], axis=1).clip(1e-9)
+    d0 = num / np.linalg.norm(Ftx1[:, :2], axis=1).clip(1e-9)
+    ok = np.maximum(d0, d1) < threshold_px
+    out = matches0.copy()
+    out[idx0[~ok]] = -1
+    return out

@@ -1,0 +1,258 @@
+"""Volume rendering for the hash-grid field (instant-ngp render path).
+
+Replaces instant-ngp's CUDA occupancy-grid ray marcher (reference surface:
+``testbed.render(w, h, spp, linear)`` with ``render_mode`` Shade/Depth,
+``render_aabb`` crop, ``rendering_min_transmittance`` — ingp_utils.py:22-44,
+run_vis_on_poses.py:28-57). TPU-native design: fixed sample counts per ray
+(static shapes), stratified coarse pass + inverse-CDF importance pass,
+transmittance-masked compositing instead of data-dependent early exit, and
+chunked ``lax.map`` over rays so arbitrary image sizes compile once per
+chunk shape.
+
+Spaces & units: field domain is grid space [0,1]^3; rays are built from
+NeRF-space (transforms.json) cameras with OpenGL axes; ``t`` and depth are in
+NeRF-space units throughout (grid coords move at 1/3 per unit t).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixtrack_tpu.geometry.nerf_transform import _NGP_PERM
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    n_coarse: int = 64
+    n_fine: int = 64
+    min_transmittance: float = 1e-7  # reference ingp_utils.py:37
+    perturb: bool = True
+    chunk: int = 16384
+    density_scale: float = 1.0
+
+
+def rays_from_camera(
+    c2w_nerf: jax.Array,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    width: int,
+    height: int,
+    snap_to_pixel_centers: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-pixel rays in NeRF space from an OpenGL-convention c2w matrix.
+
+    Intrinsics are INDEX-CENTERED (the package-wide convention: (0, 0) is the
+    center of the top-left pixel; Camera.from_colmap subtracts 0.5), so pixel
+    (i, j) gets the ray through coordinate (j, i) exactly — rendering and
+    Camera.project agree to the pixel. ``snap_to_pixel_centers`` is accepted
+    for pyngp surface parity; sampling is always at pixel centers here.
+
+    Returns (origins (H*W, 3), dirs (H*W, 3) unit) in NeRF/json world space.
+    """
+    del snap_to_pixel_centers
+    ys, xs = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32),
+        jnp.arange(width, dtype=jnp.float32),
+        indexing="ij",
+    )
+    # OpenGL camera: x right, y up, z backward
+    d_cam = jnp.stack(
+        [(xs - cx) / fx, -(ys - cy) / fy, -jnp.ones_like(xs)], axis=-1
+    ).reshape(-1, 3)
+    R = c2w_nerf[:3, :3]
+    dirs = d_cam @ R.T
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = jnp.broadcast_to(c2w_nerf[:3, 3], dirs.shape)
+    return origins, dirs
+
+
+def _to_grid(origins_nerf, dirs_nerf):
+    """NeRF-space rays -> grid-space rays; t stays in NeRF units."""
+    o_g = origins_nerf[..., _NGP_PERM] / 3.0 + 0.5
+    d_g = dirs_nerf[..., _NGP_PERM] / 3.0
+    return o_g, d_g
+
+
+def ray_aabb_intersect(o, d, aabb_min, aabb_max, eps=1e-9):
+    """Slab test. o, d (..., 3); aabb (3,). Returns (t_near, t_far, hit)."""
+    inv = 1.0 / jnp.where(jnp.abs(d) < eps, jnp.where(d >= 0, eps, -eps), d)
+    t0 = (aabb_min - o) * inv
+    t1 = (aabb_max - o) * inv
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    t_near = jnp.maximum(t_near, 0.0)
+    hit = t_far > t_near
+    return t_near, t_far, hit
+
+
+def _sample_stratified(key, t_near, t_far, n, perturb):
+    """(R,) bounds -> (R, n) sorted sample ts."""
+    R = t_near.shape[0]
+    u = jnp.linspace(0.0, 1.0, n + 1)[:-1]  # bin lefts
+    u = jnp.broadcast_to(u, (R, n))
+    if perturb and key is not None:
+        u = u + jax.random.uniform(key, (R, n)) / n
+    else:
+        u = u + 0.5 / n
+    return t_near[:, None] + (t_far - t_near)[:, None] * u
+
+
+def _sample_importance(key, t_mid, weights, t_near, t_far, n):
+    """Inverse-CDF resampling from coarse weights. t_mid (R, S), weights (R, S)."""
+    w = weights + 1e-5
+    cdf = jnp.cumsum(w, axis=-1)
+    cdf = cdf / cdf[:, -1:]
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (R, S+1)
+    R, S = weights.shape
+    if key is not None:
+        u = jax.random.uniform(key, (R, n))
+    else:
+        u = jnp.broadcast_to(jnp.linspace(0.01, 0.99, n), (R, n))
+    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    idx = jnp.clip(idx, 1, S)
+    below = idx - 1
+    cdf_b = jnp.take_along_axis(cdf, below, axis=1)
+    cdf_a = jnp.take_along_axis(cdf, idx, axis=1)
+    edges = jnp.concatenate([t_near[:, None], t_mid, t_far[:, None]], axis=1)  # (R, S+2)
+    t_b = jnp.take_along_axis(edges, below, axis=1)
+    t_a = jnp.take_along_axis(edges, idx, axis=1)
+    frac = (u - cdf_b) / jnp.maximum(cdf_a - cdf_b, 1e-8)
+    return t_b + frac * (t_a - t_b)
+
+
+def _composite(sigma, rgbT, ts, t_far, hit, min_transmittance, density_scale):
+    """Volume compositing, feature-major. sigma (R, S), rgbT (3, R, S),
+    ts (R, S) sorted.
+
+    Returns (rgb (R, 3), alpha (R,), depth (R,)); background not yet applied.
+    """
+    deltas = jnp.diff(ts, axis=-1)
+    last = jnp.maximum(t_far[:, None] - ts[:, -1:], 0.0)
+    deltas = jnp.concatenate([deltas, last], axis=-1)
+    alpha_i = 1.0 - jnp.exp(-sigma * density_scale * deltas)
+    trans = jnp.cumprod(1.0 - alpha_i + 1e-10, axis=-1)
+    trans = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=-1)
+    w = alpha_i * trans
+    # early-termination semantics: contributions past min transmittance are cut
+    w = jnp.where(trans > min_transmittance, w, 0.0)
+    w = jnp.where(hit[:, None], w, 0.0)
+    acc = jnp.sum(w, axis=-1)
+    rgb_out = jnp.einsum("rs,crs->rc", w, rgbT)
+    depth = jnp.sum(w * ts, axis=-1) / jnp.maximum(acc, 1e-8)
+    depth = jnp.where(acc > 1e-4, depth, 0.0)
+    return rgb_out, acc, depth
+
+
+def render_rays(
+    field,
+    params,
+    origins_nerf: jax.Array,
+    dirs_nerf: jax.Array,
+    aabb: jax.Array,  # (2, 3) grid-space crop (render_aabb)
+    cfg: RenderConfig,
+    key: Optional[jax.Array] = None,
+):
+    """Render a batch of rays. Returns dict(rgb (R,3), alpha (R,), depth (R,))."""
+    o_g, d_g = _to_grid(origins_nerf, dirs_nerf)
+    t_near, t_far, hit = ray_aabb_intersect(o_g, d_g, aabb[0], aabb[1])
+    t_far = jnp.maximum(t_far, t_near + 1e-4)
+
+    k1 = k2 = None
+    if key is not None:
+        k1, k2 = jax.random.split(key)
+    ts = _sample_stratified(k1, t_near, t_far, cfg.n_coarse, cfg.perturb)
+
+    from pixtrack_tpu.nerf.field import NGPField
+
+    # feature-major ray eval: all big tensors are (C, R*S) with samples last
+    oT = o_g.T  # (3, R)
+    dT = d_g.T  # (3, R)
+    dnT = dT / jnp.maximum(jnp.linalg.norm(dT, axis=0, keepdims=True), 1e-9)
+
+    def eval_field(ts_):
+        R, S = ts_.shape
+        x = oT[:, :, None] + ts_[None, :, :] * dT[:, :, None]  # (3, R, S)
+        x = jnp.clip(x, 0.0, 1.0).reshape(3, R * S)
+        d_rep = jnp.broadcast_to(dnT[:, :, None], (3, R, S)).reshape(3, R * S)
+        sigma, rgbT = field.apply(params, x, d_rep, method=NGPField.field_T)
+        return sigma.reshape(R, S), rgbT.reshape(3, R, S)
+
+    if cfg.n_fine > 0:
+        sigma_c, rgb_c = eval_field(ts)
+        # coarse weights for importance sampling
+        deltas = jnp.diff(ts, axis=-1)
+        deltas = jnp.concatenate([deltas, deltas[:, -1:]], axis=-1)
+        alpha_c = 1.0 - jnp.exp(-sigma_c * cfg.density_scale * deltas)
+        trans_c = jnp.cumprod(1.0 - alpha_c + 1e-10, axis=-1)
+        trans_c = jnp.concatenate(
+            [jnp.ones_like(trans_c[:, :1]), trans_c[:, :-1]], axis=-1
+        )
+        w_c = alpha_c * trans_c
+        ts_f = _sample_importance(k2, ts, w_c, t_near, t_far, cfg.n_fine)
+        ts_all = jnp.sort(jnp.concatenate([ts, ts_f], axis=-1), axis=-1)
+        sigma, rgb = eval_field(ts_all)
+    else:
+        ts_all = ts
+        sigma, rgb = eval_field(ts_all)
+
+    rgb_out, acc, depth = _composite(
+        sigma, rgb, ts_all, t_far, hit, cfg.min_transmittance, cfg.density_scale
+    )
+    return {"rgb": rgb_out, "alpha": acc, "depth": depth}
+
+
+def render_image(
+    field,
+    params,
+    c2w_nerf,
+    fx, fy, cx, cy,
+    width: int,
+    height: int,
+    aabb,
+    cfg: RenderConfig,
+    background: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    key: Optional[jax.Array] = None,
+    snap_to_pixel_centers: bool = True,
+):
+    """Full-image render, chunked over rays. Returns dict with
+    rgba (H, W, 4) and depth (H, W), both float32 (linear color)."""
+    origins, dirs = rays_from_camera(
+        jnp.asarray(c2w_nerf, jnp.float32), fx, fy, cx, cy, width, height,
+        snap_to_pixel_centers,
+    )
+    n = origins.shape[0]
+    chunk = cfg.chunk
+    n_pad = (n + chunk - 1) // chunk * chunk
+    pad = n_pad - n
+    origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], axis=0)
+    dirs = jnp.concatenate([dirs, jnp.ones((pad, 3))], axis=0)
+    o_chunks = origins.reshape(-1, chunk, 3)
+    d_chunks = dirs.reshape(-1, chunk, 3)
+    aabb = jnp.asarray(aabb, jnp.float32)
+    if key is None:
+        keys = jnp.zeros((o_chunks.shape[0],), jnp.uint32)
+        use_key = False
+    else:
+        keys = jax.random.split(key, o_chunks.shape[0])
+        use_key = True
+
+    def body(args):
+        o, d, k = args
+        out = render_rays(field, params, o, d, aabb, cfg, k if use_key else None)
+        return out["rgb"], out["alpha"], out["depth"]
+
+    rgbs, alphas, depths = jax.lax.map(body, (o_chunks, d_chunks, keys))
+    rgb = rgbs.reshape(n_pad, 3)[:n].reshape(height, width, 3)
+    alpha = alphas.reshape(n_pad)[:n].reshape(height, width)
+    depth = depths.reshape(n_pad)[:n].reshape(height, width)
+    bg = jnp.asarray(background, jnp.float32)
+    rgb = rgb + (1.0 - alpha[..., None]) * bg
+    rgba = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+    return {"rgba": rgba, "depth": depth}

@@ -1,0 +1,210 @@
+"""Testbed facade: the instant-ngp-shaped rendering interface.
+
+Mirrors the 14-attribute pyngp surface the reference drives
+(ingp_utils.initialize_ingp, reference pixtrack/utils/ingp_utils.py:22-44,
+and get_nerf_image, run_vis_on_poses.py:28-57):
+
+    testbed = Testbed(TestbedMode.Nerf)            # mode arg accepted
+    testbed.load_snapshot(path)
+    testbed.background_color = [r, g, b, a]
+    testbed.snap_to_pixel_centers = True
+    testbed.nerf.rendering_min_transmittance = 1e-7
+    testbed.fov_axis = 0
+    testbed.shall_train = False
+    testbed.render_aabb.min / .max = [...]         # grid-space crop
+    testbed.exposure = 0.0
+    testbed.fov = <degrees>
+    testbed.set_nerf_camera_matrix(m[:3, :])       # NeRF-space c2w
+    testbed.render_mode = RenderMode.Shade | Depth
+    img = testbed.render(w, h, spp, linear=True)   # (H, W, 4) float32
+
+so tracker/visualization code written against the reference API drops in.
+``spp`` maps to jittered re-renders averaged together (spp > 1) or a single
+deterministic pass (spp == 1).
+"""
+
+from __future__ import annotations
+
+import enum
+from types import SimpleNamespace
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixtrack_tpu.nerf.field import NGPField
+from pixtrack_tpu.nerf.render import RenderConfig, render_image
+from pixtrack_tpu.nerf.snapshot import load_snapshot
+
+
+class RenderMode(enum.Enum):
+    Shade = 0
+    Depth = 1
+
+
+class TestbedMode(enum.Enum):
+    Nerf = 0
+
+
+class _AABB:
+    def __init__(self):
+        self.min = [0.0, 0.0, 0.0]
+        self.max = [1.0, 1.0, 1.0]
+
+
+class Testbed:
+    """Drop-in replacement for the pyngp Testbed surface used by pixtrack."""
+
+    __test__ = False  # keep pytest from collecting this as a test class
+
+    def __init__(self, mode: TestbedMode = TestbedMode.Nerf):
+        self.mode = mode
+        self.shall_train = False
+        self.background_color = [1.0, 1.0, 1.0, 0.0]
+        self.snap_to_pixel_centers = True
+        self.fov_axis = 0
+        self.exposure = 0.0
+        self.render_mode = RenderMode.Shade
+        self.render_aabb = _AABB()
+        self.nerf = SimpleNamespace(
+            sharpen=0.0,
+            render_with_camera_distortion=False,
+            rendering_min_transmittance=1e-7,
+        )
+        self._fov_deg = 50.0
+        # Optional exact-intrinsics override (fx, fy, cx, cy) — an extension
+        # over the pyngp surface so SfM cameras with off-center principal
+        # points render exactly; None -> derive from fov like the reference.
+        self.override_intrinsics = None
+        self._camera = np.eye(4)
+        self.field: Optional[NGPField] = None
+        self.params = None
+        self._render_cache = {}
+        self.n_coarse = 64
+        self.n_fine = 32
+
+    # -- snapshot ------------------------------------------------------------
+    def load_snapshot(self, path) -> None:
+        self.field, self.params, extra = load_snapshot(path)
+        if "aabb" in extra:
+            self.render_aabb.min = list(extra["aabb"][0])
+            self.render_aabb.max = list(extra["aabb"][1])
+
+    def set_field(self, field: NGPField, params) -> None:
+        self.field = field
+        self.params = params
+
+    # -- camera --------------------------------------------------------------
+    @property
+    def fov(self) -> float:
+        return self._fov_deg
+
+    @fov.setter
+    def fov(self, deg: float) -> None:
+        self._fov_deg = float(deg)
+        self._render_cache.clear()
+
+    def set_nerf_camera_matrix(self, m) -> None:
+        m = np.asarray(m, np.float64)
+        cam = np.eye(4)
+        cam[:3, :4] = m[:3, :4]
+        self._camera = cam
+
+    # -- rendering -----------------------------------------------------------
+    def _intrinsics(self, width: int, height: int):
+        if self.override_intrinsics is not None:
+            return tuple(float(v) for v in self.override_intrinsics)
+        half_angle = np.deg2rad(self._fov_deg) / 2.0
+        if self.fov_axis == 0:
+            f = (width / 2.0) / np.tan(half_angle)
+        else:
+            f = (height / 2.0) / np.tan(half_angle)
+        # index-centered principal point at the image center
+        return f, f, (width - 1) / 2.0, (height - 1) / 2.0
+
+    def _renderer(self, width: int, height: int, spp: int):
+        key = (width, height, spp, self.n_coarse, self.n_fine,
+               float(self.nerf.rendering_min_transmittance),
+               tuple(self.render_aabb.min), tuple(self.render_aabb.max),
+               None if self.override_intrinsics is None
+               else tuple(float(v) for v in self.override_intrinsics))
+        if key not in self._render_cache:
+            fx, fy, cx, cy = self._intrinsics(width, height)
+            cfg = RenderConfig(
+                n_coarse=self.n_coarse,
+                n_fine=self.n_fine,
+                min_transmittance=float(self.nerf.rendering_min_transmittance),
+                perturb=spp > 1,
+            )
+            aabb = jnp.asarray(
+                [self.render_aabb.min, self.render_aabb.max], jnp.float32
+            )
+            field = self.field
+            snap = self.snap_to_pixel_centers
+
+            @jax.jit
+            def run(params, c2w, bg, rng_key):
+                def one(k):
+                    return render_image(
+                        field, params, c2w, fx, fy, cx, cy, width, height,
+                        aabb, cfg, background=(bg[0], bg[1], bg[2]),
+                        key=k if spp > 1 else None,
+                        snap_to_pixel_centers=snap,
+                    )
+
+                if spp > 1:
+                    keys = jax.random.split(rng_key, spp)
+                    outs = jax.lax.map(one, keys)
+                    return jax.tree.map(lambda x: jnp.mean(x, axis=0), outs)
+                return one(rng_key)
+
+            self._render_cache[key] = run
+        return self._render_cache[key]
+
+    def render(
+        self, width: int, height: int, spp: int = 1, linear: bool = True,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Render (H, W, 4) float32. Depth mode returns depth in the RGB
+        channels (NeRF-space units) with alpha, like the reference consumes
+        (r9 get_mask thresholds channel 0; run_vis_on_poses.py:49-54)."""
+        if self.field is None:
+            raise RuntimeError("no snapshot loaded")
+        run = self._renderer(width, height, spp)
+        bg = jnp.asarray(self.background_color[:3], jnp.float32)
+        out = run(self.params, jnp.asarray(self._camera, jnp.float32), bg,
+                  jax.random.PRNGKey(seed))
+        rgba = np.asarray(out["rgba"])
+        if self.render_mode == RenderMode.Depth:
+            depth = np.asarray(out["depth"])
+            rgba = np.concatenate(
+                [np.repeat(depth[..., None], 3, axis=-1), rgba[..., 3:]], axis=-1
+            )
+        if not linear:
+            rgba = rgba.copy()
+            rgba[..., :3] = np.clip(rgba[..., :3], 0, 1) ** (1 / 2.2)
+        if self.exposure:
+            rgba[..., :3] = rgba[..., :3] * (2.0 ** self.exposure)
+        return rgba.astype(np.float32)
+
+
+def initialize_testbed(snapshot_path, aabb=None, background=None) -> Testbed:
+    """First-party equivalent of the reference's initialize_ingp
+    (ingp_utils.py:22-44): same defaults, our Testbed."""
+    if background is None:
+        background = [255, 255, 255, 0.0]
+    tb = Testbed(TestbedMode.Nerf)
+    tb.nerf.sharpen = 0.0
+    tb.load_snapshot(snapshot_path)
+    tb.nerf.render_with_camera_distortion = True
+    tb.background_color = [c / 255.0 if c > 1 else c for c in background]
+    tb.snap_to_pixel_centers = True
+    tb.nerf.rendering_min_transmittance = 1e-7
+    tb.fov_axis = 0
+    tb.shall_train = False
+    if aabb is not None:
+        tb.render_aabb.min = list(aabb[0])
+        tb.render_aabb.max = list(aabb[1])
+    tb.exposure = 0.0
+    return tb

@@ -1,0 +1,272 @@
+"""pixtrack-tpu CLI: one entry point for the full pipeline.
+
+Subcommands replace the reference's shell-script zoo (images_pipeline.sh,
+obj_pipeline.sh, train_ingp_nerf.sh, run_inference.sh, run_ycb_inference.sh
++ per-script argparse CLIs):
+
+  reconstruct  — triangulate an SfM model from posed views
+  train-nerf   — train the hash-grid NeRF on transforms.json
+  nerf-sfm     — re-render training views from the NeRF + re-triangulate
+  augment      — rotation-augment the SfM model (aug_sfm + db + covis)
+  track        — run the flagship tracker on a query folder
+  track-ycb    — YCB-Video evaluation run
+  visualize    — render pose overlays from poses.pkl
+  eval         — trajectory metrics from poses.pkl (+ optional GT)
+  demo         — synthetic end-to-end smoke run (no external data needed)
+  bench        — run the repo benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _cmd_train_nerf(args):
+    from pixtrack_tpu.pipelines.assets import train_nerf_asset
+
+    field, params, info = train_nerf_asset(
+        args.object_path, n_steps=args.n_steps, downscale=args.downscale
+    )
+    print(json.dumps({"seconds": info["seconds"], "history": info["history"]}))
+
+
+def _cmd_nerf_sfm(args):
+    from pixtrack_tpu.pipelines.assets import create_nerf_sfm
+
+    scene = create_nerf_sfm(args.object_path, spp=args.spp)
+    print(scene)
+
+
+def _cmd_augment(args):
+    from pixtrack_tpu.pipelines.assets import augment_assets
+
+    aug = augment_assets(args.object_path)
+    print(aug)
+
+
+def _cmd_track(args):
+    from pixtrack_tpu.geometry.nerf_transform import NerfTransform
+    from pixtrack_tpu.mapping.nerf_dataset import estimate_aabb_from_scene
+    from pixtrack_tpu.nerf.testbed import initialize_testbed
+    from pixtrack_tpu.pipelines.assets import layout
+    from pixtrack_tpu.sfm.scene import SceneModel
+    from pixtrack_tpu.tracking import PixTrackTracker
+    from pixtrack_tpu.utils.config import ObjectConfig, RunConfig, load_config
+    from pixtrack_tpu.utils.io import ImageIterator
+
+    if args.config:
+        obj_cfg, run_cfg = load_config(args.config)
+    else:
+        obj_cfg, run_cfg = ObjectConfig(), RunConfig()
+    if args.object_path:
+        obj_cfg.object_path = args.object_path
+
+    paths = layout(obj_cfg.object_path)
+    scene = SceneModel.load(paths["aug_sfm"])
+    tf = NerfTransform.load(paths["nerf2sfm"])
+    aabb = obj_cfg.aabb or estimate_aabb_from_scene(scene, tf)
+    testbed = initialize_testbed(paths["snapshot"], aabb=aabb)
+
+    tracker = PixTrackTracker(
+        scene,
+        run_cfg.make_extractor(),
+        testbed,
+        tf,
+        run_cfg.tracker_config(obj_cfg),
+        align_cfg=run_cfg.align_config(),
+        eval_path=args.out_dir,
+    )
+    frames = ImageIterator(args.query, max_frames=args.frames)
+    tracker.run(frames, max_frames=args.frames)
+    tracker.save_poses()
+    print(json.dumps(tracker.stats))
+
+
+def _cmd_track_ycb(args):
+    from pixtrack_tpu.geometry.nerf_transform import NerfTransform
+    from pixtrack_tpu.mapping.nerf_dataset import estimate_aabb_from_scene
+    from pixtrack_tpu.nerf.testbed import initialize_testbed
+    from pixtrack_tpu.pipelines.assets import layout
+    from pixtrack_tpu.sfm.scene import SceneModel
+    from pixtrack_tpu.tracking.tracker_ycb import YCBTracker, ycb_tracker_config
+    from pixtrack_tpu.utils.config import RunConfig
+    from pixtrack_tpu.utils.io import YCBVideoIterator, parse_frame_range
+
+    paths = layout(args.object_path)
+    scene = SceneModel.load(paths["aug_sfm"])
+    tf = NerfTransform.load(paths["nerf2sfm"])
+    aabb = estimate_aabb_from_scene(scene, tf)
+    testbed = initialize_testbed(paths["snapshot"], aabb=aabb)
+    run_cfg = RunConfig()
+    video, frame_range = parse_frame_range(args.query, 10000)
+    it = YCBVideoIterator(args.ycb_root, video, args.object_name, frame_range)
+    tracker = YCBTracker(
+        scene, run_cfg.make_extractor(), testbed, tf,
+        ycb_tracker_config(), align_cfg=run_cfg.align_config(),
+        eval_path=args.out_dir,
+    )
+    tracker.run(it)
+    tracker.save_poses()
+    print(json.dumps(tracker.summary()))
+
+
+def _cmd_visualize(args):
+    from pixtrack_tpu.geometry.nerf_transform import NerfTransform
+    from pixtrack_tpu.mapping.nerf_dataset import estimate_aabb_from_scene
+    from pixtrack_tpu.nerf.testbed import initialize_testbed
+    from pixtrack_tpu.pipelines.assets import layout
+    from pixtrack_tpu.sfm.scene import SceneModel
+    from pixtrack_tpu.viz.overlay import render_pose_overlays, write_video
+
+    paths = layout(args.object_path)
+    scene = SceneModel.load(paths["aug_sfm"])
+    tf = NerfTransform.load(paths["nerf2sfm"])
+    aabb = estimate_aabb_from_scene(scene, tf)
+    testbed = initialize_testbed(paths["snapshot"], aabb=aabb)
+    written = render_pose_overlays(
+        args.poses, scene, testbed, tf, args.out_dir,
+        object_center=np.asarray(scene.xyz).mean(axis=0),
+    )
+    if args.video:
+        write_video(written, Path(args.out_dir) / "overlay.mp4", fps=30)
+    print(f"wrote {len(written)} overlays to {args.out_dir}")
+
+
+def _cmd_eval(args):
+    import pickle
+
+    from pixtrack_tpu.eval.metrics import evaluate_trajectory
+
+    with open(args.poses, "rb") as f:
+        poses = pickle.load(f)
+    est, gt = [], []
+    for rec in poses.values():
+        if "gt_pose" not in rec:
+            continue
+        est.append((rec["T_refined"][:3, :3], rec["T_refined"][:3, 3]))
+        gt.append((rec["gt_pose"][:3, :3], rec["gt_pose"][:3, 3]))
+    if not est:
+        print(json.dumps({"error": "poses.pkl has no gt_pose entries"}))
+        return
+    out = evaluate_trajectory(est, gt)
+    print(json.dumps(out, indent=2))
+
+
+def _cmd_demo(args):
+    """Synthetic end-to-end smoke run: world -> track -> eval -> overlays."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "tests"))
+    import jax.numpy as jnp
+
+    from synthetic_world import build_world
+
+    from pixtrack_tpu.align.lm import AlignConfig
+    from pixtrack_tpu.eval.metrics import evaluate_trajectory
+    from pixtrack_tpu.features import FeatureExtractor, HandcraftedExtractor
+    from pixtrack_tpu.geometry import Pose
+    from pixtrack_tpu.tracking import PixTrackTracker, TrackerConfig
+
+    scene, testbed, nerf2sfm, camera, gt, frames = build_world(
+        res=128, n_frames=args.frames or 6
+    )
+    tracker = PixTrackTracker(
+        scene, FeatureExtractor(HandcraftedExtractor(), resize=None),
+        testbed, nerf2sfm,
+        TrackerConfig(reference_scale=1.0, cold_multiscale=(1,),
+                      covis_threshold=10, cost_threshold_min=0.05,
+                      refine_rounds=2),
+        align_cfg=AlignConfig(num_iters=60, robust_c=1.0),
+        eval_path=args.out_dir,
+    )
+    tracker.camera = camera
+    tracker.run(frames)
+    if args.out_dir:
+        tracker.save_poses()
+    est, gtl = [], []
+    for i, (name, _) in enumerate(frames):
+        T = np.asarray(tracker.pose_history[name]["T_refined"])
+        est.append((T[:3, :3], T[:3, 3]))
+        gtl.append((np.asarray(gt[i].R), np.asarray(gt[i].t)))
+    print(json.dumps(evaluate_trajectory(est, gtl), indent=2))
+
+
+def _cmd_bench(args):
+    import runpy
+
+    runpy.run_path(str(Path(__file__).resolve().parents[2] / "bench.py"),
+                   run_name="__main__")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="pixtrack-tpu", description=__doc__)
+    p.add_argument(
+        "--platform",
+        choices=["tpu", "cpu"],
+        help="force the JAX platform (default: environment's, usually TPU)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("train-nerf", help="train the hash-grid NeRF")
+    s.add_argument("--object_path", required=True)
+    s.add_argument("--n_steps", type=int, default=10000)
+    s.add_argument("--downscale", type=int, default=1)
+    s.set_defaults(fn=_cmd_train_nerf)
+
+    s = sub.add_parser("nerf-sfm", help="NeRF re-render + triangulation")
+    s.add_argument("--object_path", required=True)
+    s.add_argument("--spp", type=int, default=2)
+    s.set_defaults(fn=_cmd_nerf_sfm)
+
+    s = sub.add_parser("augment", help="rotation-augment the SfM model")
+    s.add_argument("--object_path", required=True)
+    s.set_defaults(fn=_cmd_augment)
+
+    s = sub.add_parser("track", help="track a query image folder")
+    s.add_argument("--object_path")
+    s.add_argument("--config")
+    s.add_argument("--query", required=True)
+    s.add_argument("--out_dir", default="out")
+    s.add_argument("--frames", type=int)
+    s.set_defaults(fn=_cmd_track)
+
+    s = sub.add_parser("track-ycb", help="YCB-Video evaluation")
+    s.add_argument("--object_path", required=True)
+    s.add_argument("--ycb_root", required=True)
+    s.add_argument("--object_name", default="003_cracker_box")
+    s.add_argument("--query", default="0000/:")
+    s.add_argument("--out_dir", default="out_ycb")
+    s.set_defaults(fn=_cmd_track_ycb)
+
+    s = sub.add_parser("visualize", help="render pose overlays")
+    s.add_argument("--object_path", required=True)
+    s.add_argument("--poses", required=True)
+    s.add_argument("--out_dir", default="results")
+    s.add_argument("--video", action="store_true")
+    s.set_defaults(fn=_cmd_visualize)
+
+    s = sub.add_parser("eval", help="trajectory metrics from poses.pkl")
+    s.add_argument("--poses", required=True)
+    s.set_defaults(fn=_cmd_eval)
+
+    s = sub.add_parser("demo", help="synthetic end-to-end smoke run")
+    s.add_argument("--frames", type=int, default=6)
+    s.add_argument("--out_dir")
+    s.set_defaults(fn=_cmd_demo)
+
+    s = sub.add_parser("bench", help="run the benchmark")
+    s.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -14,9 +14,9 @@ class TestHandcrafted:
         img = rng.uniform(size=(64, 96, 3)).astype(np.float32)
         pyr = ex(jnp.asarray(img))
         assert pyr.num_levels == 3
-        assert pyr.levels[0].shape == (64, 96, 8)
-        assert pyr.levels[1].shape == (16, 24, 8)
-        assert pyr.levels[2].shape == (4, 6, 8)
+        assert pyr.levels[0].shape == (64, 96, 11)
+        assert pyr.levels[1].shape == (16, 24, 11)
+        assert pyr.levels[2].shape == (4, 6, 11)
         assert pyr.scales == ((1.0, 1.0), (0.25, 0.25), (1 / 16, 1 / 16))
         assert pyr.confidences is not None
         for c, f in zip(pyr.confidences, pyr.levels):
@@ -124,7 +124,7 @@ class TestObservations:
             axis=1,
         ).astype(np.float32)
         feats, weights, valids = observe_points(pyr, T, cam, jnp.asarray(p3d))
-        assert feats[0].shape == (50, 8)
+        assert feats[0].shape == (50, 11)
         assert np.asarray(valids[0]).sum() > 40
         # aggregate two identical views -> same features
         fv = jnp.stack([feats[0], feats[0]])

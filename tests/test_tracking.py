@@ -1,0 +1,163 @@
+"""End-to-end tracker tests on the synthetic world (the repo's own oracle:
+known GT poses + an analytic NeRF — the seam SURVEY.md §4 prescribes)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pixtrack_tpu.align.lm import AlignConfig
+from pixtrack_tpu.features import FeatureExtractor, HandcraftedExtractor
+from pixtrack_tpu.geometry import Pose
+from pixtrack_tpu.tracking import PixTrackTracker, TrackerConfig
+from pixtrack_tpu.tracking.mask import depth_to_object_mask
+from pixtrack_tpu.tracking.refiner import infer_camera_from_image
+from pixtrack_tpu.tracking.render_bridge import render_nerf_view
+
+from synthetic_world import build_world
+
+
+@pytest.fixture(scope="module")
+def world():
+    return build_world(res=128, n_frames=8)
+
+
+def pose_error(T: Pose, T_gt: Pose):
+    dR, dt = (T @ T_gt.inv()).magnitude()
+    return float(dR), float(dt)
+
+
+class TestRenderBridge:
+    def test_query_render_shows_object(self, world):
+        scene, testbed, nerf2sfm, camera, gt, frames = world
+        img = frames[0][1]
+        assert img.shape == (128, 128, 3)
+        assert img.dtype == np.uint8
+        # object occupies the center, background (zeroed) elsewhere
+        assert img[64, 64].sum() > 0
+        assert img[2, 2].sum() == 0
+
+    def test_depth_render_consistent(self, world):
+        scene, testbed, nerf2sfm, camera, gt, frames = world
+        depth = render_nerf_view(testbed, nerf2sfm, gt[0], camera, depth=True)
+        center = depth[64, 64]
+        # camera distance 1.6, sphere radius 0.36 -> expected depth ~1.24
+        assert 1.0 < center < 1.5, f"depth {center}"
+        assert depth[2, 2] == 0.0
+
+    def test_mask_morphology(self, world):
+        scene, testbed, nerf2sfm, camera, gt, frames = world
+        depth = render_nerf_view(testbed, nerf2sfm, gt[0], camera, depth=True)
+        mask = np.asarray(depth_to_object_mask(jnp.asarray(depth)))
+        assert mask.shape == depth.shape
+        assert set(np.unique(mask)).issubset({0.0, 1.0})
+        # dilation grows the support beyond the raw depth mask
+        assert mask.sum() >= (depth != 0).sum()
+
+
+class TestSceneProjection:
+    def test_reference_observations_match_renders(self, world):
+        """Projecting SfM points into a reference render must land on the
+        object: the render and the scene agree geometrically."""
+        scene, testbed, nerf2sfm, camera, gt, frames = world
+        ref_id = scene.image_ids[0]
+        T_ref = scene.pose_w2c(ref_id)
+        img = render_nerf_view(testbed, nerf2sfm, T_ref, camera, spp=1)
+        idx = scene.p3d_indices_for_images([ref_id])
+        xyz = scene.xyz[idx].astype(np.float32)
+        p2d, valid = camera.world2image(T_ref, jnp.asarray(xyz))
+        p2d = np.asarray(p2d)[np.asarray(valid)]
+        # sample the render at the projections: most should be non-black
+        xi = np.clip(p2d[:, 0].round().astype(int), 0, 127)
+        yi = np.clip(p2d[:, 1].round().astype(int), 0, 127)
+        vals = img[yi, xi].sum(axis=1)
+        assert (vals > 0).mean() > 0.85
+
+
+class TestTracker:
+    def test_tracks_synthetic_sequence(self, world):
+        scene, testbed, nerf2sfm, camera, gt, frames = world
+        extractor = FeatureExtractor(HandcraftedExtractor(), resize=None)
+        cfg = TrackerConfig(
+            reference_scale=1.0,
+            cold_multiscale=(1,),
+            steady_multiscale=(1,),
+            cache_thresh_rad=0.0,
+            covis_threshold=10,
+            use_mask=True,
+            cost_threshold_min=0.05,  # frame 0 == ref render -> cost ~ 0
+            refine_rounds=2,
+        )
+        tracker = PixTrackTracker(
+            scene, extractor, testbed, nerf2sfm, cfg,
+            align_cfg=AlignConfig(num_iters=60, robust_c=1.0),
+        )
+        tracker.camera = camera
+        # cold start from the nearest reference (upright-ref bootstrap)
+        tracker.run(frames)
+        errs = []
+        for i, (name, _) in enumerate(frames):
+            rec = tracker.pose_history[name]
+            T = Pose.from_4x4(jnp.asarray(rec["T_refined"], jnp.float32))
+            dR, dt = pose_error(T, gt[i])
+            errs.append((dR, dt))
+        dRs = [e[0] for e in errs[1:]]  # skip cold-start frame
+        dts = [e[1] for e in errs[1:]]
+        assert np.median(dRs) < 3.0, f"rotation errors {dRs}"
+        assert np.median(dts) < 0.05, f"translation errors {dts}"
+        assert tracker.stats["frames"] == len(frames)
+
+    def test_relocalization_on_garbage_frame(self, world):
+        scene, testbed, nerf2sfm, camera, gt, frames = world
+        extractor = FeatureExtractor(HandcraftedExtractor(), resize=None)
+        cfg = TrackerConfig(
+            reference_scale=1.0, cold_multiscale=(1,), steady_multiscale=(1,),
+            covis_threshold=10, cost_threshold_min=0.05, refine_rounds=2,
+        )
+        tracker = PixTrackTracker(
+            scene, extractor, testbed, nerf2sfm, cfg,
+            align_cfg=AlignConfig(num_iters=40, robust_c=1.0),
+        )
+        tracker.camera = camera
+        garbage = ("garbage.png", np.zeros((128, 128, 3), np.uint8))
+        seq = [frames[0], frames[1], garbage, frames[2]]
+        tracker.run(seq)
+        assert tracker.relocalization_count >= 1
+        # recovered after the garbage frame
+        rec = tracker.pose_history["frame_0002.png"]
+        T = Pose.from_4x4(jnp.asarray(rec["T_refined"], jnp.float32))
+        dR, dt = pose_error(T, gt[2])
+        assert dR < 5.0 and dt < 0.1
+
+    def test_poses_pkl_output(self, world, tmp_path):
+        scene, testbed, nerf2sfm, camera, gt, frames = world
+        extractor = FeatureExtractor(HandcraftedExtractor(), resize=None)
+        tracker = PixTrackTracker(
+            scene, extractor, testbed, nerf2sfm,
+            TrackerConfig(reference_scale=1.0, cold_multiscale=(1,),
+                          covis_threshold=10, cost_threshold_min=0.05),
+            align_cfg=AlignConfig(num_iters=30, robust_c=1.0),
+            eval_path=str(tmp_path),
+        )
+        tracker.camera = camera
+        tracker.run(frames[:3])
+        tracker.save_poses()
+        import pickle
+
+        with open(tmp_path / "poses.pkl", "rb") as f:
+            poses = pickle.load(f)
+        assert len(poses) == 3
+        rec = poses["frame_0000.png"]
+        assert set(rec) >= {"success", "T_init", "T_refined", "camera",
+                            "reference_ids", "query_path"}
+        assert rec["T_refined"].shape == (4, 4)
+        with open(tmp_path / "trackers.pkl", "rb") as f:
+            trace = pickle.load(f)
+        assert len(trace) == 3
+        assert {"frame", "cost", "num_iters"} <= set(trace[0])
+
+
+class TestCameraInference:
+    def test_infer_camera(self):
+        cam = infer_camera_from_image(np.zeros((480, 640, 3), np.uint8))
+        assert float(cam.f[0]) == pytest.approx(1.2 * 640)
+        assert float(cam.width) == 640
