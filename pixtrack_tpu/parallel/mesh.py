@@ -51,13 +51,16 @@ def make_mesh(
 
 
 def shard_field_params(params, mesh: Mesh, field: NGPField):
-    """Place field params: hash table sharded over tp on the level axis,
-    everything else replicated."""
+    """Place field params: each per-level hash table sharded over tp on its
+    entry axis (levels are separate params for VMEM-staged gathers — see
+    HashEncoding), everything else replicated."""
+
+    tp = mesh.shape["tp"]
 
     def place(path, leaf):
         keys = jax.tree_util.keystr(path)
-        if "table" in keys and field.n_levels % mesh.shape["tp"] == 0:
-            spec = P("tp", None, None)  # (L, F, T) sharded over levels
+        if "table" in keys and leaf.ndim == 2 and leaf.shape[-1] % tp == 0:
+            spec = P(None, "tp")  # (F, T) sharded over table entries
         else:
             spec = P()
         return jax.device_put(leaf, NamedSharding(mesh, spec))

@@ -283,17 +283,33 @@ def write_points3D_txt(points: Dict[int, Point3DRecord], path) -> None:
 
 
 # ------------------------------------------------------------------ driver ----
-def read_model(path, ext: str | None = None) -> Tuple[dict, dict, dict]:
-    """Read a COLMAP model directory. Auto-detects .bin vs .txt."""
+def read_model(path, ext: str | None = None, use_native: bool = True) -> Tuple[dict, dict, dict]:
+    """Read a COLMAP model directory. Auto-detects .bin vs .txt.
+
+    The .bin path prefers the native C++ parser (pixtrack_tpu.native) for
+    large augmented models; falls back to the Python reader transparently.
+    """
     path = Path(path)
     if ext is None:
         ext = ".bin" if (path / "cameras.bin").exists() else ".txt"
     if ext == ".bin":
-        return (
-            read_cameras_bin(path / "cameras.bin"),
-            read_images_bin(path / "images.bin"),
-            read_points3D_bin(path / "points3D.bin"),
-        )
+        images = points = None
+        if use_native:
+            try:
+                from pixtrack_tpu.native import (
+                    fast_read_images_bin,
+                    fast_read_points3D_bin,
+                )
+
+                images = fast_read_images_bin(path / "images.bin")
+                points = fast_read_points3D_bin(path / "points3D.bin")
+            except Exception:
+                images = points = None
+        if images is None:
+            images = read_images_bin(path / "images.bin")
+        if points is None:
+            points = read_points3D_bin(path / "points3D.bin")
+        return (read_cameras_bin(path / "cameras.bin"), images, points)
     return (
         read_cameras_txt(path / "cameras.txt"),
         read_images_txt(path / "images.txt"),

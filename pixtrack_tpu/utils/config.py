@@ -128,7 +128,7 @@ class RunConfig:
             from pixtrack_tpu.features.unet import init_unet
 
             if self.unet_weights and os.path.exists(self.unet_weights):
-                from pixtrack_tpu.features.weights import load_unet_weights
+                from pixtrack_tpu.features.train import load_unet_weights
 
                 model, params = load_unet_weights(self.unet_weights)
             else:
