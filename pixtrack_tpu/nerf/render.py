@@ -236,22 +236,25 @@ def render_image(
     o_chunks = origins.reshape(-1, chunk, 3)
     d_chunks = dirs.reshape(-1, chunk, 3)
     aabb = jnp.asarray(aabb, jnp.float32)
-    if key is None:
-        keys = jnp.zeros((o_chunks.shape[0],), jnp.uint32)
-        use_key = False
-    else:
-        keys = jax.random.split(key, o_chunks.shape[0])
-        use_key = True
+    n_chunks = o_chunks.shape[0]
+    keys = jax.random.split(key, n_chunks) if key is not None else [None] * n_chunks
 
-    def body(args):
-        o, d, k = args
-        out = render_rays(field, params, o, d, aabb, cfg, k if use_key else None)
-        return out["rgb"], out["alpha"], out["depth"]
-
-    rgbs, alphas, depths = jax.lax.map(body, (o_chunks, d_chunks, keys))
-    rgb = rgbs.reshape(n_pad, 3)[:n].reshape(height, width, 3)
-    alpha = alphas.reshape(n_pad)[:n].reshape(height, width)
-    depth = depths.reshape(n_pad)[:n].reshape(height, width)
+    # Unrolled python loop, NOT lax.map: wrapping the hash-grid eval in a
+    # scan keeps XLA from staging the per-level tables into VMEM, reverting
+    # gathers to the slow HBM path (measured 3 s vs ~30 ms for a 16k-ray
+    # chunk). Unrolling keeps program size linear in n_chunks — fine for the
+    # few chunks an image needs.
+    rgbs, alphas, depths = [], [], []
+    for ci in range(n_chunks):
+        out = render_rays(
+            field, params, o_chunks[ci], d_chunks[ci], aabb, cfg, keys[ci]
+        )
+        rgbs.append(out["rgb"])
+        alphas.append(out["alpha"])
+        depths.append(out["depth"])
+    rgb = jnp.concatenate(rgbs)[:n].reshape(height, width, 3)
+    alpha = jnp.concatenate(alphas)[:n].reshape(height, width)
+    depth = jnp.concatenate(depths)[:n].reshape(height, width)
     bg = jnp.asarray(background, jnp.float32)
     rgb = rgb + (1.0 - alpha[..., None]) * bg
     rgba = jnp.concatenate([rgb, alpha[..., None]], axis=-1)

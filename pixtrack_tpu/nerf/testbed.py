@@ -154,9 +154,13 @@ class Testbed:
                     )
 
                 if spp > 1:
+                    # unrolled (not lax.map): scan blocks the VMEM staging of
+                    # hash-table gathers — see render_image
                     keys = jax.random.split(rng_key, spp)
-                    outs = jax.lax.map(one, keys)
-                    return jax.tree.map(lambda x: jnp.mean(x, axis=0), outs)
+                    outs = [one(keys[i]) for i in range(spp)]
+                    return jax.tree.map(
+                        lambda *xs: jnp.mean(jnp.stack(xs), axis=0), *outs
+                    )
                 return one(rng_key)
 
             self._render_cache[key] = run

@@ -27,7 +27,8 @@ from pixtrack_tpu.nerf.render import RenderConfig, render_rays
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     n_steps: int = 10000        # reference budget (train_ingp_nerf.sh:14)
-    batch_rays: int = 1 << 14
+    batch_rays: int = 1 << 13   # 8k rays: keeps the scatter-bound backward
+                                # (~1us/sample on v5e) near 0.3s/step
     lr: float = 1e-2
     lr_final: float = 1e-4
     weight_decay: float = 1e-6  # on MLP params, not the hash table
