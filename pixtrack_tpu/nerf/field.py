@@ -103,12 +103,13 @@ _CORNERS = tuple(
 class HashEncoding(nn.Module):
     """Multires hash encoding, feature-major: (3, N) in [0,1] -> (L*F, N).
 
-    PERF-CRITICAL LAYOUT: each level's table is a SEPARATE (F, T) parameter.
-    A single fused (L, F, T) parameter (67 MB at defaults) keeps XLA's gather
-    operand in HBM — measured 1.46 s forward / 14.6 s backward for a 1.5M-
-    sample batch on v5e. Small standalone per-level tables (4 MB each) get
-    staged into VMEM by XLA's gather, measured 0.1 ms / 15.5 ms for the same
-    batch — a ~940x training-step speedup from this split alone.
+    PERF NOTE (measured host-synced on v5e): XLA lowers these gathers to a
+    serial ~150-200M gathers/s loop regardless of table size or index order,
+    so this vertex layout (8 corner gathers x L levels per sample) runs at
+    ~1.2 M samples/s — fine for offline TRAINING, far too slow for per-frame
+    rendering. Inference renders use nerf/baked.py: the trained tables are
+    repacked per-CELL with all 8 corners in the sublane dimension (1 gather
+    per level, ~135 M samples/s/level), and the Testbed bakes on load.
     """
 
     n_levels: int = 16

@@ -80,20 +80,54 @@ class Testbed:
         self._camera = np.eye(4)
         self.field: Optional[NGPField] = None
         self.params = None
+        self._baked = None
         self._render_cache = {}
         self.n_coarse = 64
         self.n_fine = 32
 
     # -- snapshot ------------------------------------------------------------
-    def load_snapshot(self, path) -> None:
+    def load_snapshot(self, path, bake: bool = True) -> None:
         self.field, self.params, extra = load_snapshot(path)
         if "aabb" in extra:
             self.render_aabb.min = list(extra["aabb"][0])
             self.render_aabb.max = list(extra["aabb"][1])
+        if bake:
+            self.bake()
 
-    def set_field(self, field: NGPField, params) -> None:
+    def set_field(self, field: NGPField, params, bake: bool = False) -> None:
         self.field = field
         self.params = params
+        self._baked = None
+        self._render_cache.clear()
+        if bake:
+            self.bake()
+
+    def bake(self) -> None:
+        """Repack the vertex hash grid into the cell-packed render format
+        (one gather per level, ~100x render throughput on TPU — see
+        nerf/baked.py). Keeps the vertex field around for training."""
+        from pixtrack_tpu.nerf.baked import bake as _bake
+
+        self._baked = _bake(self.field, self.params)
+        self._render_cache.clear()
+
+    def distill(self, key=None, config=None, seed: int = 0) -> None:
+        """Replace the render field with an MXU-only distilled MLP
+        (~10-30x the baked render throughput; see nerf/distill.py). Runs a
+        few minutes of offline fitting against the current field."""
+        from pixtrack_tpu.nerf.baked import occupancy_grid
+        from pixtrack_tpu.nerf.distill import DistillConfig, distill as _distill
+
+        teacher = self._baked if self._baked is not None else self.field
+        tparams = None if self._baked is not None else self.params
+        occ = occupancy_grid(teacher, tparams)
+        aabb = np.asarray([self.render_aabb.min, self.render_aabb.max],
+                          np.float32)
+        if key is None:
+            key = jax.random.PRNGKey(seed)
+        self._baked = _distill(teacher, tparams, key, aabb, occ=occ,
+                               config=config or DistillConfig())
+        self._render_cache.clear()
 
     # -- camera --------------------------------------------------------------
     @property
@@ -140,14 +174,21 @@ class Testbed:
             aabb = jnp.asarray(
                 [self.render_aabb.min, self.render_aabb.max], jnp.float32
             )
-            field = self.field
             snap = self.snap_to_pixel_centers
+            baked = self._baked is not None
+            static_field = self.field  # Flax module: static, closure-safe
 
+            # The field weights enter as a JIT ARGUMENT: the baked pytree
+            # (cell tables would otherwise be embedded as 100s-of-MB
+            # compile-time constants) or the vertex params.
             @jax.jit
-            def run(params, c2w, bg, rng_key):
+            def run(field_arg, c2w, bg, rng_key):
+                fld = field_arg if baked else static_field
+                prm = None if baked else field_arg
+
                 def one(k):
                     return render_image(
-                        field, params, c2w, fx, fy, cx, cy, width, height,
+                        fld, prm, c2w, fx, fy, cx, cy, width, height,
                         aabb, cfg, background=(bg[0], bg[1], bg[2]),
                         key=k if spp > 1 else None,
                         snap_to_pixel_centers=snap,
@@ -177,7 +218,8 @@ class Testbed:
             raise RuntimeError("no snapshot loaded")
         run = self._renderer(width, height, spp)
         bg = jnp.asarray(self.background_color[:3], jnp.float32)
-        out = run(self.params, jnp.asarray(self._camera, jnp.float32), bg,
+        field_arg = self._baked if self._baked is not None else self.params
+        out = run(field_arg, jnp.asarray(self._camera, jnp.float32), bg,
                   jax.random.PRNGKey(seed))
         rgba = np.asarray(out["rgba"])
         if self.render_mode == RenderMode.Depth:

@@ -63,6 +63,10 @@ class TrackerConfig:
     steady_multiscale: Tuple[int, ...] = (1,)
     use_mask: bool = True
     mask_always: bool = False           # YCB masks every frame (ycb:249-250)
+    # "splat": project the SfM cloud + on-device morphology (gather-free,
+    # ~1000x cheaper than a depth render; see mask.splat_object_mask).
+    # "nerf_depth": reference-exact NeRF depth render (r9:207-214).
+    mask_mode: str = "splat"
     mask_kernel: int = 5
     mask_erode_iters: int = 1
     mask_dilate_iters: int = 5
@@ -196,6 +200,17 @@ class PixTrackTracker(PoseTracker):
         return ref
 
     def get_mask(self, pose: Pose) -> np.ndarray:
+        if self.config.mask_mode == "splat":
+            if not hasattr(self, "_mask_p3d"):
+                self._mask_p3d = jnp.asarray(self.scene.xyz.astype(np.float32))
+            from pixtrack_tpu.tracking.mask import splat_object_mask
+
+            m = splat_object_mask(
+                pose, self.camera, self._mask_p3d,
+                (int(float(self.camera.height)), int(float(self.camera.width))),
+                dilate_iters=self.config.mask_dilate_iters,
+            )
+            return np.asarray(m)
         depth = render_nerf_view(
             self.testbed, self.nerf2sfm, pose, self.camera,
             spp=1, depth=True,
