@@ -222,6 +222,66 @@ def align_level(
     )
 
 
+def align_level_traced(
+    T_init: Pose, data: LevelData, camera: Camera, cfg: AlignConfig
+) -> Tuple[AlignState, dict]:
+    """align_level with a per-iteration trace (the DebugTracker role,
+    reference localization/tracker.py:32-46): returns the final state plus
+    {costs, dt, dR, accepted, active} arrays of length cfg.num_iters.
+    Implemented as a fixed-length ``lax.scan`` of the SAME step math as
+    align_level (entries after early-stop are masked via ``active``)."""
+
+    def compute_step(T, lam):
+        r, J, w, valid, (e2, w_static) = _residuals_and_jacobian(T, data, camera, cfg)
+        cost = _mean_cost(e2, w_static, valid, cfg)
+        wr = r * w[:, None]
+        g = jnp.einsum("nck,nc->k", J, wr)
+        H = jnp.einsum("nck,ncl->kl", J * w[:, None, None], J)
+        diag = jnp.diagonal(H)
+        H_damped = H + (lam * diag + cfg.eps) * jnp.eye(6, dtype=H.dtype)
+        delta = -jax.scipy.linalg.solve(H_damped, g, assume_a="pos")
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        return delta, g, cost
+
+    def body(carry, _):
+        T, lam, done = carry
+        delta, g, cost = compute_step(T, lam)
+        T_new = T.retract(delta)
+        new_cost, _ = residual_cost(T_new, data, camera, cfg)
+        accept = (new_cost < cost) & (~done)
+        T_next = jax.tree.map(lambda a, b: jnp.where(accept, a, b), T_new, T)
+        lam_next = jnp.where(
+            done, lam,
+            jnp.clip(jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up),
+                     cfg.lambda_min, cfg.lambda_max),
+        )
+        gnorm = jnp.linalg.norm(g)
+        dR, dt = Pose.exp(delta).magnitude()
+        small_grad = gnorm < cfg.grad_stop_criteria
+        small_step = accept & (dt < cfg.dt_stop_criteria) & (dR < cfg.dR_stop_criteria)
+        done_next = done | small_grad | small_step
+        rec = {
+            "cost": jnp.where(done, jnp.nan, new_cost),
+            "dt": jnp.where(done, jnp.nan, dt),
+            "dR": jnp.where(done, jnp.nan, dR),
+            "accepted": accept,
+            "active": ~done,
+        }
+        return (T_next, lam_next, done_next), rec
+
+    lam0 = jnp.asarray(cfg.lambda_init, jnp.float32)
+    (T, lam, done), trace = jax.lax.scan(
+        body, (T_init, lam0, jnp.asarray(False)), None, length=cfg.num_iters
+    )
+    cost_final, nvalid = residual_cost(T, data, camera, cfg)
+    state = AlignState(
+        T=T, cost=cost_final, num_valid=nvalid,
+        num_iters=jnp.sum(trace["active"]), converged=done,
+        grad_norm=jnp.asarray(jnp.nan),
+    )
+    return state, trace
+
+
 def align_pyramid(
     T_init: Pose,
     levels: Tuple[LevelData, ...],

@@ -1,0 +1,878 @@
+"""Incremental SfM from UNPOSED images: the COLMAP-mapper role.
+
+The reference's first reconstruction runs the COLMAP incremental mapper
+under hloc/PixSfM (scripts/run_reconstruction.py:52-61, C++/Ceres). This is
+the TPU-first equivalent for the single-camera object rigs the pipeline
+feeds it: every RANSAC is a *hypothesis-batched* JAX program (hundreds of
+minimal solves as one vmapped SVD + one dense scoring pass — no per-sample
+Python loop), pose polish is a jitted Gauss-Newton on reprojection
+residuals, and the final assembly reuses the batched-DLT multi-view
+triangulator (mapping/triangulate.py).
+
+Algorithm (standard incremental pipeline):
+  1. detect + mutual-ratio match all pairs (mapping/detector, matcher);
+  2. init pair = most matches; essential-matrix RANSAC (8-point, Sampson
+     scoring) -> decompose -> chirality vote;
+  3. triangulate the init pair's tracks;
+  4. register remaining images by 2D-3D PnP RANSAC (DLT-6pt) + GN polish,
+     best-supported image first;
+  5. after each registration: triangulate newly-completed tracks; periodic
+     resection-intersection refinement (re-polish every pose, re-DLT every
+     track) — the lightweight BA;
+  6. assemble a SceneModel via triangulate_scene.
+
+Deltas vs COLMAP (documented): single shared camera, intrinsics fixed (the
+caller supplies them, e.g. infer_camera_from_image's f = 1.2 * max(w, h),
+matching pycolmap's prior), no vocabulary-tree retrieval (exhaustive pairs,
+like the reference's pairs_from_exhaustive).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixtrack_tpu.geometry import Camera, Pose
+from pixtrack_tpu.geometry.rotation import so3_hat
+from pixtrack_tpu.sfm import colmap_io
+from pixtrack_tpu.sfm.scene import SceneModel
+
+
+
+
+def _f32_precision(fn):
+    """TPU matmuls default to bf16; epipolar/PnP scoring needs f32 (measured:
+    a 4.7deg CPU estimate degrades to 19.6deg on TPU without this)."""
+    import functools as _ft
+
+    @_ft.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("float32"):
+            return fn(*a, **k)
+    return wrapped
+
+# ---------------------------------------------------------------------------
+# Essential matrix: batched 8-point + Sampson RANSAC
+# ---------------------------------------------------------------------------
+
+def _eight_point(p0, p1):
+    """(B, 8, 2) normalized correspondences -> (B, 3, 3) essential candidates."""
+    x0, y0 = p0[..., 0], p0[..., 1]
+    x1, y1 = p1[..., 0], p1[..., 1]
+    one = jnp.ones_like(x0)
+    # rows of the epipolar constraint x1^T E x0 = 0
+    A = jnp.stack(
+        [x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0, one], axis=-1
+    )  # (B, 8, 9)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    E = vt[..., -1, :].reshape(-1, 3, 3)
+    # project to the essential manifold: singular values (1, 1, 0)
+    u, s, vt2 = jnp.linalg.svd(E)
+    sv = jnp.stack([jnp.ones_like(s[..., 0]), jnp.ones_like(s[..., 0]),
+                    jnp.zeros_like(s[..., 0])], axis=-1)
+    return u @ (sv[..., None] * vt2)
+
+
+def _sampson(E, p0, p1, eps=1e-12):
+    """Squared Sampson distance. E (B, 3, 3), p0/p1 (N, 2) -> (B, N)."""
+    x0 = jnp.concatenate([p0, jnp.ones((p0.shape[0], 1))], axis=1)  # (N, 3)
+    x1 = jnp.concatenate([p1, jnp.ones((p1.shape[0], 1))], axis=1)
+    Ex0 = jnp.einsum("bij,nj->bni", E, x0)
+    Etx1 = jnp.einsum("bji,nj->bni", E, x1)
+    x1Ex0 = jnp.einsum("ni,bni->bn", x1, Ex0)
+    denom = (
+        Ex0[..., 0] ** 2 + Ex0[..., 1] ** 2
+        + Etx1[..., 0] ** 2 + Etx1[..., 1] ** 2
+    )
+    return x1Ex0**2 / (denom + eps)
+
+
+def _eight_point_weighted(p0, p1, w):
+    """Least-squares E from ALL weighted correspondences (N >= 8)."""
+    x0, y0 = p0[:, 0], p0[:, 1]
+    x1, y1 = p1[:, 0], p1[:, 1]
+    one = jnp.ones_like(x0)
+    A = jnp.stack(
+        [x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0, one], axis=-1
+    ) * w[:, None]
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    E = vt[-1].reshape(3, 3)
+    u, s, vt2 = jnp.linalg.svd(E)
+    return u @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0])) @ vt2
+
+
+@_f32_precision
+@functools.partial(jax.jit, static_argnames=("n_hyp", "lo_iters"))
+def _essential_ransac(p0, p1, key, n_hyp: int = 4096, thresh: float = 1e-5,
+                      lo_iters: int = 3):
+    """Hypothesis-batched 8-point RANSAC + local-optimization refits.
+
+    n_hyp must cover low inlier ratios: at 40% inliers, P(clean 8-draw) ~
+    0.07%, so thousands of (cheap, batched) hypotheses are required.
+    Each LO iteration refits E by weighted least squares on the current
+    inlier set and re-scores — recovers full accuracy from a barely-clean
+    minimal draw."""
+    N = p0.shape[0]
+    idx = jax.random.randint(key, (n_hyp, 8), 0, N)
+    E = _eight_point(p0[idx], p1[idx])
+    d = _sampson(E, p0, p1)
+    inl = d < thresh
+    scores = inl.sum(axis=1)
+    best = jnp.argmax(scores)
+    E_best, inl_best = E[best], inl[best]
+    for _ in range(lo_iters):
+        E_best = _eight_point_weighted(p0, p1, inl_best.astype(jnp.float32))
+        d = _sampson(E_best[None], p0, p1)[0]
+        inl_best = d < thresh
+    return E_best, inl_best, inl_best.sum()
+
+
+def _four_point_h(p0, p1):
+    """(B, 4, 2) correspondences -> (B, 3, 3) homographies (DLT)."""
+    x0, y0 = p0[..., 0], p0[..., 1]
+    x1, y1 = p1[..., 0], p1[..., 1]
+    one = jnp.ones_like(x0)
+    zero = jnp.zeros_like(x0)
+    r1 = jnp.stack([x0, y0, one, zero, zero, zero,
+                    -x1 * x0, -x1 * y0, -x1], axis=-1)
+    r2 = jnp.stack([zero, zero, zero, x0, y0, one,
+                    -y1 * x0, -y1 * y0, -y1], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=1)  # (B, 8, 9)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    return vt[..., -1, :].reshape(-1, 3, 3)
+
+
+def _h_transfer(H, p0, p1, eps=1e-9):
+    """Symmetric-ish transfer error (forward only): |H p0 - p1|^2, (B, N)."""
+    x0 = jnp.concatenate([p0, jnp.ones((p0.shape[0], 1))], axis=1)
+    Hx = jnp.einsum("bij,nj->bni", H, x0)
+    uv = Hx[..., :2] / jnp.where(jnp.abs(Hx[..., 2:]) < eps, eps, Hx[..., 2:])
+    return jnp.sum((uv - p1[None]) ** 2, axis=-1)
+
+
+@_f32_precision
+@functools.partial(jax.jit, static_argnames=("n_hyp", "lo_iters"))
+def _homography_ransac(p0, p1, key, n_hyp: int = 2048, thresh: float = 1e-5,
+                       lo_iters: int = 2):
+    N = p0.shape[0]
+    idx = jax.random.randint(key, (n_hyp, 4), 0, N)
+    H = _four_point_h(p0[idx], p1[idx])
+    d = _h_transfer(H, p0, p1)
+    inl = d < thresh
+    best = jnp.argmax(inl.sum(axis=1))
+    H_best, inl_best = H[best], inl[best]
+    for _ in range(lo_iters):
+        # weighted LS refit on inliers
+        w = inl_best.astype(jnp.float32)
+        x0b, y0b = p0[:, 0], p0[:, 1]
+        x1b, y1b = p1[:, 0], p1[:, 1]
+        one = jnp.ones_like(x0b)
+        zero = jnp.zeros_like(x0b)
+        r1 = jnp.stack([x0b, y0b, one, zero, zero, zero,
+                        -x1b * x0b, -x1b * y0b, -x1b], axis=-1) * w[:, None]
+        r2 = jnp.stack([zero, zero, zero, x0b, y0b, one,
+                        -y1b * x0b, -y1b * y0b, -y1b], axis=-1) * w[:, None]
+        A = jnp.concatenate([r1, r2], axis=0)
+        _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+        H_best = vt[-1].reshape(3, 3)
+        inl_best = _h_transfer(H_best[None], p0, p1)[0] < thresh
+    return H_best, inl_best, inl_best.sum()
+
+
+def decompose_homography(H: np.ndarray):
+    """Calibrated homography -> up to 8 (R, t, n) (Faugeras/Malis SVD method).
+
+    H maps normalized coords cam0 -> cam1 for a plane n^T x = d (cam0 frame):
+    H ~ R + t n^T / d. Returns candidate rigid motions with |t| unnormalized
+    by d (scale-free, like the essential path)."""
+    H = np.asarray(H, np.float64)
+    U, S, Vt = np.linalg.svd(H)
+    d1, d2, d3 = S
+    if d2 < 1e-12:
+        return []
+    H = H / d2
+    d1, d3 = d1 / d2, d3 / d2
+    s = np.linalg.det(U) * np.linalg.det(Vt)
+    out = []
+    if abs(d1 - d3) < 1e-9:  # pure rotation (degenerate plane at infinity)
+        R = s * U @ Vt
+        return [(R, np.zeros(3), np.array([0.0, 0.0, 1.0]))]
+    x1 = np.sqrt(max((d1**2 - 1.0) / (d1**2 - d3**2), 0.0))
+    x3 = np.sqrt(max((1.0 - d3**2) / (d1**2 - d3**2), 0.0))
+    for e1 in (1.0, -1.0):
+        for e3 in (1.0, -1.0):
+            n_p = np.array([e1 * x1, 0.0, e3 * x3])
+            # d' > 0 family
+            sin_t = (d1 - d3) * e1 * x1 * e3 * x3
+            cos_t = d1 * x3**2 + d3 * x1**2
+            Rp = np.array([[cos_t, 0, -sin_t], [0, 1, 0], [sin_t, 0, cos_t]])
+            tp = (d1 - d3) * np.array([e1 * x1, 0.0, -e3 * x3])
+            R = s * U @ Rp @ Vt
+            t = U @ tp
+            n = Vt.T @ n_p
+            if n[2] < 0:  # plane normal faces the camera
+                n, t = -n, -t
+            out.append((R, t, n))
+            # d' < 0 family
+            sin_t2 = (d1 + d3) * e1 * x1 * e3 * x3
+            cos_t2 = d3 * x1**2 - d1 * x3**2
+            Rp2 = np.array([[cos_t2, 0, sin_t2], [0, -1, 0], [sin_t2, 0, -cos_t2]])
+            tp2 = (d1 + d3) * np.array([e1 * x1, 0.0, e3 * x3])
+            R2 = s * U @ Rp2 @ Vt
+            t2 = U @ tp2
+            n2 = Vt.T @ n_p
+            if n2[2] < 0:
+                n2, t2 = -n2, -t2
+            out.append((R2, t2, n2))
+    return out
+
+
+def _triangulate_pair(R, t, p0, p1):
+    """Midpoint-free two-view DLT in normalized coords. Returns (N, 3) in
+    cam0 frame and the two depth arrays."""
+    P0 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    P1 = jnp.concatenate([R, t[:, None]], axis=1)
+
+    def tri(u0, u1):
+        A = jnp.stack(
+            [
+                u0[0] * P0[2] - P0[0],
+                u0[1] * P0[2] - P0[1],
+                u1[0] * P1[2] - P1[0],
+                u1[1] * P1[2] - P1[1],
+            ]
+        )
+        _, _, vt = jnp.linalg.svd(A)
+        X = vt[-1]
+        return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
+
+    X = jax.vmap(tri)(p0, p1)
+    z0 = X[:, 2]
+    z1 = (R @ X.T + t[:, None])[2]
+    return X, z0, z1
+
+
+def estimate_relative_pose(
+    p0n: np.ndarray, p1n: np.ndarray, key, n_hyp: int = 4096,
+    thresh_px: float = 2.0, focal: float = 1.0,
+) -> Tuple[Pose, np.ndarray]:
+    """Two-view relative pose (cam0 -> cam1, unit baseline) from normalized
+    correspondences, via essential RANSAC + cheirality vote over the four
+    (R, t) decompositions. Returns (T_0to1, inlier mask).
+
+    ``thresh_px`` is the inlier gate in PIXELS, converted to the squared
+    Sampson units the scoring uses via ``focal`` — a fixed normalized
+    threshold silently becomes sub-pixel-strict at long focals (observed:
+    zero inliers at f=280 with the old 1e-5 default)."""
+    p0 = jnp.asarray(p0n, jnp.float32)
+    p1 = jnp.asarray(p1n, jnp.float32)
+    thresh = (thresh_px / focal) ** 2
+    kE, kH = jax.random.split(key)
+
+    # Model A: essential matrix (general scenes)
+    E, inlE, _ = _essential_ransac(p0, p1, kE, n_hyp=n_hyp, thresh=thresh)
+    u, _, vt = jnp.linalg.svd(E)
+    W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    Rs = [u @ W @ vt, u @ W.T @ vt]
+    Rs = [R * jnp.sign(jnp.linalg.det(R)) for R in Rs]
+    candidates = [
+        (np.asarray(R, np.float64), np.asarray(s * u[:, 2], np.float64), inlE)
+        for R in Rs for s in (1.0, -1.0)
+    ]
+
+    # Model B: homography (shallow / near-planar objects — the 8-point's
+    # degenerate case, where a small textured object at distance lives;
+    # observed: a correct E simply cannot be recovered from such pairs)
+    Hm, inlH, _ = _homography_ransac(p0, p1, kH, thresh=thresh)
+    for (R, t, n) in decompose_homography(np.asarray(Hm)):
+        if np.linalg.norm(t) > 1e-6:
+            candidates.append((R, t, inlH))
+
+    # chirality + reprojection vote over the union of candidates: triangulate
+    # with each motion, count inliers that land in front of both cameras AND
+    # reproject within threshold into image 1
+    best, best_score, best_inl = None, -1, None
+    for (R, t, inl) in candidates:
+        tn = t / max(np.linalg.norm(t), 1e-12)
+        Rj = jnp.asarray(R, jnp.float32)
+        tj = jnp.asarray(tn, jnp.float32)
+        X, z0, z1 = _triangulate_pair(Rj, tj, p0, p1)
+        x1 = (Rj @ X.T + tj[:, None]).T
+        uv1 = x1[:, :2] / jnp.where(jnp.abs(x1[:, 2:]) < 1e-9, 1e-9, x1[:, 2:])
+        reproj_ok = jnp.sum((uv1 - p1) ** 2, axis=1) < thresh
+        score = int(jnp.sum((z0 > 0) & (z1 > 0) & reproj_ok & inl))
+        if score > best_score:
+            best_score, best, best_inl = score, (R, tn), inl
+    R, t = best
+    inliers = best_inl
+    T01 = Pose.from_Rt(jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32))
+    # Maximum-likelihood polish: Gauss-Newton directly on the SAMPSON error
+    # over (R, t) — 5 true DOF, no structure in the loop. The algebraic
+    # 8-point (and alternating triangulate-refine schemes) are biased ~15 deg
+    # for narrow-baseline object pairs at 1px noise; Sampson-GN recovers the
+    # statistically attainable accuracy.
+    T01 = refine_relative_pose_sampson(
+        T01, p0, p1, jnp.asarray(inliers, jnp.float32)
+    )
+    return T01, np.asarray(inliers)
+
+
+@_f32_precision
+@functools.partial(jax.jit, static_argnames=("iters", "damping"))
+def refine_relative_pose_sampson(T01: Pose, p0, p1, w, iters: int = 30,
+                                 damping: float = 1e-4):
+    """GN on sum w * sampson^2 over a left se(3) delta of T01; translation
+    renormalized to the unit-baseline gauge each step (the 6th DOF is pure
+    gauge and the damping absorbs it)."""
+
+    def residuals(delta, T):
+        Tn = T.retract(delta)
+        tx = so3_hat(Tn.t[None])[0]
+        E = tx @ Tn.R
+        x0 = jnp.concatenate([p0, jnp.ones((p0.shape[0], 1))], axis=1)
+        x1 = jnp.concatenate([p1, jnp.ones((p1.shape[0], 1))], axis=1)
+        Ex0 = x0 @ E.T
+        Etx1 = x1 @ E
+        num = jnp.sum(x1 * Ex0, axis=1)
+        den = jnp.sqrt(
+            Ex0[:, 0] ** 2 + Ex0[:, 1] ** 2 + Etx1[:, 0] ** 2 + Etx1[:, 1] ** 2
+            + 1e-12
+        )
+        return (num / den) * w
+
+    def body(T, _):
+        J = jax.jacfwd(residuals)(jnp.zeros(6), T)  # (N, 6)
+        r = residuals(jnp.zeros(6), T)
+        H = J.T @ J + damping * jnp.eye(6)
+        g = J.T @ r
+        delta = -jnp.linalg.solve(H, g)
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        Tn = T.retract(delta)
+        t_n = Tn.t / jnp.maximum(jnp.linalg.norm(Tn.t), 1e-9)
+        return Pose.from_Rt(Tn.R, t_n), None
+
+    T, _ = jax.lax.scan(body, T01, None, length=iters)
+    return T
+
+
+# ---------------------------------------------------------------------------
+# PnP: batched DLT-6pt RANSAC + Gauss-Newton polish
+# ---------------------------------------------------------------------------
+
+def _dlt_pnp(p3d, p2dn):
+    """(B, 6, 3) points, (B, 6, 2) normalized obs -> (B, 3, 4) projections."""
+    X = jnp.concatenate([p3d, jnp.ones((*p3d.shape[:2], 1))], axis=-1)  # (B,6,4)
+    zero = jnp.zeros_like(X)
+    u = p2dn[..., 0:1]
+    v = p2dn[..., 1:2]
+    r1 = jnp.concatenate([X, zero, -u * X], axis=-1)   # (B, 6, 12)
+    r2 = jnp.concatenate([zero, X, -v * X], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=1)              # (B, 12, 12)
+    _, _, vt = jnp.linalg.svd(A)
+    P = vt[..., -1, :].reshape(-1, 3, 4)
+    # fix scale/sign: make the rotation part proper
+    M = P[..., :3]
+    det = jnp.linalg.det(M)
+    P = P * jnp.sign(det)[..., None, None]
+    norm = jnp.cbrt(jnp.abs(det))
+    P = P / jnp.where(norm < 1e-12, 1e-12, norm)[..., None, None]
+    return P
+
+
+def _score_P(P, p3d, p2dn, thresh):
+    Xh = jnp.concatenate([p3d, jnp.ones((p3d.shape[0], 1))], axis=1)
+    proj = jnp.einsum("...ij,nj->...ni", P, Xh)
+    z = proj[..., 2]
+    uv = proj[..., :2] / jnp.where(jnp.abs(z[..., None]) < 1e-9, 1e-9, z[..., None])
+    err = jnp.linalg.norm(uv - p2dn, axis=-1)
+    return (err < thresh) & (z > 0)
+
+
+def _dlt_pnp_weighted(p3d, p2dn, w):
+    """Least-squares P from ALL weighted 2D-3D correspondences."""
+    X = jnp.concatenate([p3d, jnp.ones((p3d.shape[0], 1))], axis=-1)
+    zero = jnp.zeros_like(X)
+    u = p2dn[:, 0:1]
+    v = p2dn[:, 1:2]
+    rows = jnp.concatenate(
+        [
+            jnp.concatenate([X, zero, -u * X], axis=-1),
+            jnp.concatenate([zero, X, -v * X], axis=-1),
+        ],
+        axis=0,
+    ) * jnp.concatenate([w, w])[:, None]
+    _, _, vt = jnp.linalg.svd(rows, full_matrices=True)
+    P = vt[-1].reshape(3, 4)
+    det = jnp.linalg.det(P[:, :3])
+    P = P * jnp.sign(det)
+    norm = jnp.cbrt(jnp.abs(det))
+    return P / jnp.where(norm < 1e-12, 1e-12, norm)
+
+
+@_f32_precision
+@functools.partial(jax.jit, static_argnames=("n_hyp", "lo_iters"))
+def _pnp_ransac(p3d, p2dn, key, n_hyp: int = 1024, thresh: float = 2e-3,
+                lo_iters: int = 2):
+    N = p3d.shape[0]
+    idx = jax.random.randint(key, (n_hyp, 6), 0, N)
+    P = _dlt_pnp(p3d[idx], p2dn[idx])
+    inl = _score_P(P, p3d, p2dn[None], thresh)
+    scores = inl.sum(axis=1)
+    best = jnp.argmax(scores)
+    P_best, inl_best = P[best], inl[best]
+    for _ in range(lo_iters):
+        P_best = _dlt_pnp_weighted(p3d, p2dn, inl_best.astype(jnp.float32))
+        inl_best = _score_P(P_best, p3d, p2dn, thresh)
+    return P_best, inl_best, inl_best.sum()
+
+
+def _orthogonalize(P) -> Tuple[np.ndarray, np.ndarray]:
+    """Projective (3, 4) -> nearest rigid (R, t)."""
+    M = np.asarray(P[:, :3], np.float64)
+    u, s, vt = np.linalg.svd(M)
+    R = u @ vt
+    if np.linalg.det(R) < 0:
+        R, s = -R, -s
+    scale = s.mean()
+    t = np.asarray(P[:, 3], np.float64) / max(scale, 1e-12)
+    return R, t
+
+
+@_f32_precision
+@functools.partial(jax.jit, static_argnames=("iters", "damping", "robust_c_px"))
+def refine_pose_reprojection(T: Pose, p3d, p2d_ic, weights, camera: Camera,
+                             iters: int = 15, damping: float = 1e-3,
+                             robust_c_px: float = 0.0):
+    """Gauss-Newton polish of a w2c pose on pixel reprojection residuals
+    (the geometric counterpart of align/lm.py's feature-metric step).
+
+    With ``robust_c_px`` > 0 the residuals get Cauchy IRLS weights — a
+    hypothesis-free robust PnP when initialized from a neighboring pose
+    (DLT-based minimal solvers are degenerate for coplanar points, which
+    single-face views of objects produce constantly)."""
+
+    def body(T, _):
+        p_cam = T.transform(p3d)
+        uv, visible = camera.project(p_cam)
+        r = (uv - p2d_ic) * weights[:, None]
+        w = jnp.where(visible, 1.0, 0.0) * weights
+        if robust_c_px > 0:
+            e2 = jnp.sum((uv - p2d_ic) ** 2, axis=-1)
+            w = w / (1.0 + e2 / (robust_c_px**2))
+        N = p_cam.shape[0]
+        J_pcam = jnp.concatenate(
+            [-so3_hat(p_cam),
+             jnp.broadcast_to(jnp.eye(3, dtype=p_cam.dtype), (N, 3, 3))],
+            axis=-1,
+        )
+        J = jnp.einsum("nij,njk->nik", camera.project_jacobian(p_cam), J_pcam)
+        g = jnp.einsum("nik,ni->k", J * w[:, None, None], r)
+        H = jnp.einsum("nik,nil->kl", J * w[:, None, None], J)
+        H = H + damping * jnp.eye(6)
+        delta = -jnp.linalg.solve(H, g)
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        return T.retract(delta), None
+
+    T, _ = jax.lax.scan(body, T, None, length=iters)
+    return T
+
+
+# ---------------------------------------------------------------------------
+# The incremental mapper
+# ---------------------------------------------------------------------------
+
+def _normalize(camera: Camera, p2d_ic: np.ndarray) -> np.ndarray:
+    f = np.asarray(camera.f)
+    c = np.asarray(camera.c)
+    return (p2d_ic - c) / f
+
+
+def _chain_initialize(
+    ids, matches, kp_n, f_mean, key, verbose=False
+) -> Dict[int, "Pose"]:
+    """Sequential chain initialization for ordered captures (the pixtrack
+    asset rigs are rings/videos): relative pose per strongest-neighbor pair,
+    scales chained through shared tracks' depths. Produces a complete,
+    drifty-but-topologically-correct pose set for global BA to polish —
+    PnP bootstrap against two-view structure fails on shallow objects
+    (bas-relief distortion makes early structure unusable)."""
+    # build the chain greedily from verified match counts
+    order = [ids[0]]
+    left = set(ids[1:])
+    while left:
+        cur = order[-1]
+        best, bn = None, -1
+        for j in left:
+            a, b = (cur, j) if cur < j else (j, cur)
+            n = int((matches.get((a, b), np.asarray([-1])) >= 0).sum())
+            if n > bn:
+                bn, best = n, j
+        if bn < 8:
+            break
+        order.append(best)
+        left.discard(best)
+
+    poses: Dict[int, Pose] = {order[0]: Pose.identity()}
+    prev_pts: Optional[Dict[int, np.ndarray]] = None  # kidx in prev -> depth
+    scale = 1.0
+    for a_i in range(len(order) - 1):
+        i, j = order[a_i], order[a_i + 1]
+        a, b = (i, j) if i < j else (j, i)
+        m = matches[(a, b)]
+        k0 = np.nonzero(m >= 0)[0]
+        k1 = m[k0]
+        if i > j:  # matches stored low->high; flip to i->j direction
+            k0, k1 = k1, k0
+        key, k_e = jax.random.split(key)
+        T_ij, inl = estimate_relative_pose(
+            kp_n[i][k0], kp_n[j][k1], k_e, focal=f_mean
+        )
+        X, z0, z1 = _triangulate_pair(
+            jnp.asarray(T_ij.R), jnp.asarray(T_ij.t),
+            jnp.asarray(kp_n[i][k0], jnp.float32),
+            jnp.asarray(kp_n[j][k1], jnp.float32),
+        )
+        z0 = np.asarray(z0)
+        ok = np.asarray(inl) & (z0 > 0) & (np.asarray(z1) > 0)
+        depth_i = {int(k): float(z) for k, z, o in zip(k0, z0, ok) if o}
+        if prev_pts is not None:
+            shared = [k for k in depth_i if k in prev_pts]
+            if len(shared) >= 3:
+                # prev_pts are GLOBAL-scale depths of the same physical
+                # points in camera i; depth_i are unit-baseline depths of
+                # this link -> their ratio IS this link's baseline scale
+                scale = float(np.median(
+                    [prev_pts[k] / depth_i[k] for k in shared]
+                ))
+        T_scaled = Pose.from_Rt(
+            T_ij.R, T_ij.t * jnp.asarray(scale, jnp.float32)
+        )
+        poses[j] = T_scaled @ poses[i]
+        # depths of j's keypoints for the next link's scale chain
+        z1 = np.asarray(z1)
+        prev_pts = {int(kk): float(zz) * scale
+                    for kk, zz, o in zip(k1, z1, ok) if o}
+        if verbose:
+            print(f"chain {i}->{j}: {int(np.asarray(inl).sum())}/{len(k0)} "
+                  f"inl, scale {scale:.3f}")
+    return poses
+
+
+def incremental_sfm(
+    images: Dict[int, np.ndarray],
+    camera_rec: colmap_io.CameraRecord,
+    names: Optional[Dict[int, str]] = None,
+    max_keypoints: int = 1024,
+    seed: int = 0,
+    min_pnp_points: int = 6,
+    refine_every: int = 3,
+    verbose: bool = False,
+    match_kw: Optional[dict] = None,
+    strategy: str = "chain",
+    **detect_kw,
+) -> SceneModel:
+    """Full unposed reconstruction -> SceneModel (arbitrary global scale,
+    like any monocular SfM).
+
+    ``strategy``: "chain" (default) initializes poses sequentially through
+    the strongest-neighbor chain and polishes with global BA — robust for
+    the ordered ring/video captures the pipeline ingests. "pnp" is the
+    classical init-pair + PnP-growing mapper (COLMAP-style); it needs
+    deeper scenes (PnP bootstrap against two-view structure of a shallow
+    object inherits its bas-relief distortion)."""
+    from pixtrack_tpu.mapping.detector import detect_and_describe
+    from pixtrack_tpu.mapping.matcher import match_descriptors
+    from pixtrack_tpu.mapping.triangulate import (
+        build_tracks,
+        triangulate_scene,
+    )
+
+    camera = Camera.from_colmap(
+        camera_rec.model, camera_rec.params, camera_rec.width, camera_rec.height
+    )
+    f_mean = float(np.asarray(camera.f).mean())
+    names = names or {iid: f"view_{iid:04d}.png" for iid in images}
+    key = jax.random.PRNGKey(seed)
+
+    # 1. features + exhaustive matching (corner-convention keypoints, like
+    # the COLMAP h5 layout used across sfm/)
+    kps: Dict[int, np.ndarray] = {}
+    descs: Dict[int, np.ndarray] = {}
+    for iid, img in images.items():
+        kp, _, desc = detect_and_describe(img, max_keypoints=max_keypoints, **detect_kw)
+        kps[iid] = np.asarray(kp)
+        descs[iid] = np.asarray(desc)
+    ids = sorted(images)
+    kp_ic = {iid: kps[iid] - 0.5 for iid in kps}  # index-centered
+    kp_n = {iid: _normalize(camera, kp_ic[iid]) for iid in kps}
+
+    # 1b. two-view geometric verification (COLMAP's verification stage):
+    # essential-RANSAC each pair, keep only epipolar-consistent matches.
+    # Without this, union-find chains wrong matches into inconsistent
+    # tracks that the same-image rule then drops wholesale.
+    matches: Dict[Tuple[int, int], np.ndarray] = {}
+    min_pair_inliers = 10
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            i0, i1 = ids[a], ids[b]
+            m0, _ = match_descriptors(descs[i0], descs[i1], **(match_kw or {}))
+            m0 = np.asarray(m0).copy()
+            k0 = np.nonzero(m0 >= 0)[0]
+            if len(k0) < min_pair_inliers:
+                matches[(i0, i1)] = np.full_like(m0, -1)
+                continue
+            key, k_v, k_h = jax.random.split(key, 3)
+            # pad to power-of-two buckets by cyclic repetition: every pair
+            # otherwise jit-recompiles the RANSACs for its unique N
+            Nv = len(k0)
+            Npad = 1 << int(np.ceil(np.log2(max(Nv, 32))))
+            sel = np.resize(np.arange(Nv), Npad)
+            pa = jnp.asarray(kp_n[i0][k0][sel], jnp.float32)
+            pb = jnp.asarray(kp_n[i1][m0[k0]][sel], jnp.float32)
+            # union of epipolar- AND homography-consistent matches: the
+            # 8-point E is biased on shallow pairs and rejects true wide-
+            # baseline matches, destroying the >=3-view tracks global BA
+            # needs for loop closure; H catches the dominant-plane subset
+            _, inlE, _ = _essential_ransac(
+                pa, pb, k_v, n_hyp=2048, thresh=(3.0 / f_mean) ** 2,
+            )
+            _, inlH, _ = _homography_ransac(
+                pa, pb, k_h, thresh=(3.0 / f_mean) ** 2,
+            )
+            inl = (np.asarray(inlE) | np.asarray(inlH))[:Nv]
+            if inl.sum() < min_pair_inliers:
+                m0[:] = -1
+            else:
+                m0[k0[~inl]] = -1
+            matches[(i0, i1)] = m0
+
+    # 2. init pair + relative pose
+    pair_counts = {p: int((m >= 0).sum()) for p, m in matches.items()}
+    (i0, i1) = max(pair_counts, key=pair_counts.get)
+    if strategy == "chain":
+        key, k_c = jax.random.split(key)
+        poses: Dict[int, Pose] = _chain_initialize(
+            ids, matches, kp_n, f_mean, k_c, verbose=verbose
+        )
+        i0 = next(iter(poses))
+    else:
+        m01 = matches[(i0, i1)]
+        k0 = np.nonzero(m01 >= 0)[0]
+        k1 = m01[k0]
+        key, k_e = jax.random.split(key)
+        T01, inl = estimate_relative_pose(kp_n[i0][k0], kp_n[i1][k1], k_e,
+                                          focal=f_mean)
+        poses = {i0: Pose.identity(), i1: T01}
+        if verbose:
+            print(f"init pair ({i0},{i1}): {int(inl.sum())}/{len(k0)} inliers")
+
+    # 3-5. register remaining images against the growing point set
+    tracks = build_tracks(kps, matches, min_track_length=2)
+    track_of_obs: Dict[Tuple[int, int], int] = {}
+    for ti, tr in enumerate(tracks):
+        for obs in tr:
+            track_of_obs[obs] = ti
+    xyz_of_track: Dict[int, np.ndarray] = {}
+
+    def triangulate_ready(registered: List[int]) -> None:
+        """(Re-)triangulate all tracks with >= 2 registered observations,
+        in one padded batch."""
+        from pixtrack_tpu.mapping.triangulate import triangulate_tracks
+
+        cand, cand_ids = [], []
+        reg = set(registered)
+        for ti, tr in enumerate(tracks):
+            obs = [o for o in tr if o[0] in reg]
+            if len(obs) >= 2:
+                cand.append(obs)
+                cand_ids.append(ti)
+        if not cand:
+            return
+        xyz, kept, _ = triangulate_tracks(
+            cand, kp_ic, {i: poses[i] for i in reg}, {1: camera},
+            {i: 1 for i in reg}, max_reproj_error=6.0,
+        )
+        kept_set = {tuple(t[0]): None for t in kept}
+        # map kept back to track ids by first observation
+        first_to_tid = {tuple(c[0]): tid for c, tid in zip(cand, cand_ids)}
+        for t, p in zip(kept, xyz):
+            tid = first_to_tid.get(tuple(t[0]))
+            if tid is not None:
+                xyz_of_track[tid] = p
+
+    triangulate_ready([i0, i1])
+
+    def global_ba(ba_iters: int = 15) -> None:
+        """Joint pose+structure BA over the current model (bundle.py).
+        Pads observation counts to power-of-two buckets to bound jit
+        recompiles as the model grows."""
+        from pixtrack_tpu.mapping.bundle import bundle_adjust
+
+        reg = [i0] + [i for i in poses if i != i0]  # gauge: i0 first
+        row_of = {iid: k for k, iid in enumerate(reg)}
+        tids = sorted(xyz_of_track)
+        trow = {t: k for k, t in enumerate(tids)}
+        if len(tids) < 8:
+            return
+        ci, pi, uvs = [], [], []
+        for t in tids:
+            for (im, k) in tracks[t]:
+                if im in row_of:
+                    ci.append(row_of[im])
+                    pi.append(trow[t])
+                    uvs.append(kp_ic[im][k])
+        M = len(ci)
+        Mp = 1 << int(np.ceil(np.log2(max(M, 64))))
+        pad = Mp - M
+        ci = np.asarray(ci + [0] * pad, np.int32)
+        pi = np.asarray(pi + [0] * pad, np.int32)
+        uvs = np.concatenate([np.stack(uvs), np.zeros((pad, 2))]).astype(np.float32)
+        w = np.concatenate([np.ones(M), np.zeros(pad)]).astype(np.float32)
+        pb = Pose(
+            R=jnp.stack([poses[i].R for i in reg]),
+            t=jnp.stack([poses[i].t for i in reg]),
+        )
+        Np = len(tids)
+        Xb = jnp.asarray(np.stack([xyz_of_track[t] for t in tids]), jnp.float32)
+        pb2, Xb2 = bundle_adjust(
+            pb, Xb, jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(uvs),
+            jnp.asarray(w), camera, iters=ba_iters, robust_c_px=3.0,
+        )
+        Xb2 = np.asarray(Xb2)
+        for k, iid in enumerate(reg):
+            poses[iid] = Pose.from_Rt(pb2.R[k], pb2.t[k])
+        for t in tids:
+            xyz_of_track[t] = Xb2[trow[t]]
+
+    remaining = [i for i in ids if i not in poses]
+    rejected: Dict[int, int] = {}
+    _EMPTY = np.asarray([-1])
+    while remaining:
+        # most 2D-3D correspondences first; support is recomputed every
+        # round so images skipped earlier are retried once new points exist
+        def support(iid):
+            return sum(
+                1
+                for k in range(len(kps[iid]))
+                if track_of_obs.get((iid, k)) in xyz_of_track
+            )
+
+        remaining.sort(key=support, reverse=True)
+        iid = remaining[0]
+        obs3d, obs2dn, obs2dic = [], [], []
+        for k in range(len(kps[iid])):
+            tid = track_of_obs.get((iid, k))
+            if tid in xyz_of_track:
+                obs3d.append(xyz_of_track[tid])
+                obs2dn.append(kp_n[iid][k])
+                obs2dic.append(kp_ic[iid][k])
+        if len(obs3d) < min_pnp_points:
+            if verbose:
+                print(f"stop: best remaining image {iid} has only "
+                      f"{len(obs3d)} 2D-3D ({len(remaining)} unregistered)")
+            break
+        remaining.remove(iid)
+        X = jnp.asarray(np.stack(obs3d), jnp.float32)
+        uv_ic = jnp.asarray(np.stack(obs2dic), jnp.float32)
+
+        # Registration A (primary): robust GN from the most-connected
+        # registered neighbor's pose. Hypothesis-free and well-posed for
+        # COPLANAR point sets — where DLT-PnP is degenerate, and single-face
+        # object views are coplanar almost by construction.
+        def shared(rid):
+            a, b = (rid, iid) if rid < iid else (iid, rid)
+            return int((matches.get((a, b), _EMPTY) >= 0).sum())
+
+        neighbor = max(poses, key=shared)
+        candidates_T = []
+        if shared(neighbor) > 0:
+            T_nb = refine_pose_reprojection(
+                poses[neighbor], X, uv_ic, jnp.ones(len(obs3d)),
+                camera, iters=30, robust_c_px=4.0,
+            )
+            candidates_T.append(T_nb)
+        # Registration B (fallback): DLT-6pt RANSAC (general-position sets)
+        key, k_p = jax.random.split(key)
+        P, _, _ = _pnp_ransac(
+            X, jnp.asarray(np.stack(obs2dn), jnp.float32), k_p,
+            thresh=4.0 / f_mean,
+        )
+        R, t = _orthogonalize(np.asarray(P))
+        T_dlt = Pose.from_Rt(R.astype(np.float32), t.astype(np.float32))
+        candidates_T.append(refine_pose_reprojection(
+            T_dlt, X, uv_ic, jnp.ones(len(obs3d)), camera, iters=15,
+            robust_c_px=4.0,
+        ))
+
+        def inlier_count(T):
+            uv, vis = camera.world2image(T, X)
+            err = jnp.linalg.norm(uv - uv_ic, axis=-1)
+            return int(jnp.sum(vis & (err < 4.0)))
+
+        scores = [inlier_count(T) for T in candidates_T]
+        bi = int(np.argmax(scores))
+        T, score = candidates_T[bi], scores[bi]
+        # acceptance gate: a registration the data doesn't support poisons
+        # the whole downstream model
+        if score < max(min_pnp_points, int(0.25 * len(obs3d))):
+            if verbose:
+                print(f"reject image {iid}: {score}/{len(obs3d)} inliers")
+            rejected[iid] = rejected.get(iid, 0) + 1
+            if rejected[iid] < 3:
+                remaining.append(iid)  # retry once more structure exists
+            continue
+        poses[iid] = T
+        if verbose:
+            print(f"registered {iid}: {score}/{len(obs3d)} inliers "
+                  f"({'GN' if bi == 0 and len(candidates_T) == 2 else 'DLT'})")
+        triangulate_ready(list(poses))
+
+        # periodic GLOBAL bundle adjustment (poses + structure jointly —
+        # alternating resection/intersection converges to collapsed local
+        # minima on shallow object rigs)
+        if len(poses) % refine_every == 0:
+            global_ba()
+            triangulate_ready(list(poses))
+
+    # final polish: BA -> re-register every pose against the converged
+    # structure (robust GN; snaps chain-drifted poses back) -> BA again
+    global_ba(ba_iters=25)
+    triangulate_ready(list(poses))
+    for rid in list(poses):
+        o3, o2 = [], []
+        for k in range(len(kps[rid])):
+            tid = track_of_obs.get((rid, k))
+            if tid in xyz_of_track:
+                o3.append(xyz_of_track[tid])
+                o2.append(kp_ic[rid][k])
+        if len(o3) >= min_pnp_points and rid != i0:
+            poses[rid] = refine_pose_reprojection(
+                poses[rid],
+                jnp.asarray(np.stack(o3), jnp.float32),
+                jnp.asarray(np.stack(o2), jnp.float32),
+                jnp.ones(len(o3)), camera, iters=30, robust_c_px=3.0,
+            )
+    triangulate_ready(list(poses))
+    global_ba(ba_iters=25)
+    triangulate_ready(list(poses))
+
+    # 6. final assembly through the shared triangulator
+    image_meta = {}
+    for iid, T in poses.items():
+        q, t = T.to_quat_t()
+        image_meta[iid] = {
+            "name": names[iid],
+            "qvec": np.asarray(q),
+            "tvec": np.asarray(t),
+            "camera_id": camera_rec.camera_id,
+        }
+    reg_matches = {
+        p: m for p, m in matches.items() if p[0] in poses and p[1] in poses
+    }
+    return triangulate_scene(
+        image_meta, kps, reg_matches, {camera_rec.camera_id: camera_rec}
+    )

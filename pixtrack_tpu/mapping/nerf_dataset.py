@@ -140,6 +140,56 @@ def write_transforms_json(
     return meta
 
 
+def transforms_from_yaml(yaml_path, out_path, aabb_scale: int = 4) -> dict:
+    """YAML-driven transforms.json writer — the pyrender2ingp role
+    (reference pixtrack/utils/pyrender2ingp.py:112-371): synthetic scenes
+    describe their camera rig in a scene_info.yaml instead of a COLMAP model.
+
+    Expected YAML schema::
+
+        camera: {width: W, height: H, fx: _, fy: _, cx: _, cy: _}
+        frames:
+          - {file_path: mapping/0001.png, c2w: [[...4x4...]]}   # SfM-space
+
+    The same normalization (up/centroid/scale/center-of-attention) is derived
+    from the YAML rig, and nerf2sfm.pkl is written next to transforms.json.
+    """
+    import yaml
+
+    from pixtrack_tpu.sfm import colmap_io
+
+    with open(yaml_path) as f:
+        info = yaml.safe_load(f)
+    cam = info["camera"]
+
+    # build a throwaway SceneModel so the one normalization path is shared
+    cameras = {
+        1: colmap_io.CameraRecord(
+            1, "PINHOLE", int(cam["width"]), int(cam["height"]),
+            np.array([cam["fx"], cam["fy"], cam["cx"], cam["cy"]], np.float64),
+        )
+    }
+    images = {}
+    from pixtrack_tpu.geometry import Pose
+    import jax.numpy as jnp
+
+    for i, fr in enumerate(info["frames"]):
+        c2w = np.asarray(fr["c2w"], np.float64)
+        T = Pose.from_4x4(jnp.asarray(np.linalg.inv(c2w), jnp.float32))
+        q, t = T.to_quat_t()
+        images[i + 1] = colmap_io.ImageRecord(
+            i + 1, np.asarray(q, np.float64), np.asarray(t, np.float64), 1,
+            fr["file_path"].split("/")[-1], np.zeros((0, 2)), np.zeros(0, np.int64),
+        )
+    scene = SceneModel(cameras, images, {})
+    nerf_tf = compute_nerf_transform(scene)
+    rel = str(Path(info["frames"][0]["file_path"]).parent)
+    meta = write_transforms_json(scene, nerf_tf, out_path, image_dir_rel=rel,
+                                 aabb_scale=aabb_scale)
+    nerf_tf.save(Path(out_path).parent / "nerf2sfm.pkl")
+    return meta
+
+
 def estimate_aabb_from_scene(
     scene: SceneModel, nerf_tf: NerfTransform, quantile: float = 0.01,
     margin: float = 0.05,

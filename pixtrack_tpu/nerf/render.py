@@ -115,7 +115,10 @@ def _sample_importance(key, t_mid, weights, t_near, t_far, n):
         u = jax.random.uniform(key, (R, n))
     else:
         u = jnp.broadcast_to(jnp.linspace(0.01, 0.99, n), (R, n))
-    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # searchsorted(side="right") == count of cdf entries <= u, as one dense
+    # (R, n, S+1) comparison: vmap(searchsorted) lowers to a serial binary-
+    # search loop on TPU (measured ~100 ms for 32k x 64->32 vs ~1 ms here).
+    idx = jnp.sum((cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1)
     idx = jnp.clip(idx, 1, S)
     below = idx - 1
     cdf_b = jnp.take_along_axis(cdf, below, axis=1)

@@ -76,6 +76,15 @@ class Refiner:
         self.min_track_length = min_track_length
         self.pad_multiple = pad_multiple
         self._refine_jit = {}
+        self._traced_jit = {}
+        # optional DebugTracker observer (reference refiner.tracker,
+        # localization/tracker.py): set via attach_tracker()
+        self.tracker = None
+
+    def attach_tracker(self, tracker) -> None:
+        """Attach a DebugTracker; refinement then records per-iteration
+        optimizer traces (and dense maps at debug >= 2)."""
+        self.tracker = tracker
 
     # ---------------------------------------------------------------------
     def select_points(self, ref_ids: Sequence[int]) -> Tuple[jax.Array, jax.Array]:
@@ -146,6 +155,7 @@ class Refiner:
                 cost=float("inf"), num_valid=0, num_iters=0,
             )
 
+        debug = self.tracker is not None and self.tracker.debug >= 1
         T = T_init
         costs = []
         last_state = None
@@ -155,10 +165,15 @@ class Refiner:
                 pyr, ref_feats.feats, ref_feats.weights, ref_feats.valids,
                 ref_feats.p3d, ref_feats.mask,
             )
-            final, _ = self._aligned(levels, camera)(T, levels, camera)
+            if debug:
+                final = self._refine_traced(T, levels, camera)
+            else:
+                final, _ = self._aligned(levels, camera)(T, levels, camera)
             T = final.T
             last_state = final
             costs.append(float(final.cost))
+        if debug:
+            self.tracker.log_optim_done(T, p3d=ref_feats.p3d, cost=costs[-1])
 
         ok = bool(np.isfinite(costs[-1])) and int(last_state.num_valid) >= self.min_points_opt
         return RefineResult(
@@ -183,6 +198,28 @@ class Refiner:
 
             self._refine_jit[key] = run
         return self._refine_jit[key]
+
+    def _refine_traced(self, T, levels, camera):
+        """Coarse-to-fine with per-iteration traces, feeding the attached
+        DebugTracker (align_level_traced per level)."""
+        from pixtrack_tpu.align.lm import align_level_traced
+
+        cfg = self.align_cfg
+        for li, data in enumerate(reversed(levels)):
+            key = (data.fmap.shape, data.p3d.shape)
+            if key not in self._traced_jit:
+                @jax.jit
+                def run(T, data, camera):
+                    return align_level_traced(T, data, camera, cfg)
+
+                self._traced_jit[key] = run
+            st, trace = self._traced_jit[key](T, data, camera)
+            level_idx = len(levels) - 1 - li
+            self.tracker.log_optim_iter(level_idx, trace)
+            if self.tracker.debug >= 2:
+                self.tracker.log_dense(level_idx, data.fmap, data.conf)
+            T = st.T
+        return st
 
 
 def infer_camera_from_image(image_or_shape, focal_factor: float = 1.2) -> Camera:

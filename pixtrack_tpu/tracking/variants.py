@@ -104,6 +104,10 @@ class StaticRefConfig(TrackerConfig):
     images_dir: Optional[str] = None   # mapping images root (disk refs)
     fixed_reference: bool = False      # r1: never re-select
     render_at_db_pose: bool = False    # r6/r7: NeRF render at the ref's pose
+    # precomputed reference_features.h5 (the refiners:175-198 read_features
+    # path): when set, per-reference features load from disk instead of
+    # being extracted from images/renders
+    features_h5: Optional[str] = None
 
 
 class StaticRefTracker(PixTrackTracker):
@@ -120,6 +124,12 @@ class StaticRefTracker(PixTrackTracker):
         if not isinstance(self.config, StaticRefConfig):
             raise TypeError("StaticRefTracker requires a StaticRefConfig")
         self._static_refs: Dict[int, ReferenceFeatures] = {}
+        if self.config.features_h5:
+            from pixtrack_tpu.tracking.feature_io import load_reference_features
+
+            self._static_refs.update(
+                load_reference_features(self.config.features_h5)
+            )
 
     # -- reference features -------------------------------------------------
     def _load_reference_image(self, ref_id: int) -> np.ndarray:

@@ -18,10 +18,12 @@ def make_cube_obj(tmp_path, size=0.2):
     import cv2
     import scipy.ndimage as ndi
 
-    # aperiodic texture: smoothed random colors (a checkerboard's repeating
-    # corners are ambiguous for matching and break triangulation on purpose)
+    # aperiodic texture ATLAS: smoothed random colors, one distinct 64x64
+    # tile per cube face (a single shared texture makes opposite faces
+    # identical — SfM then locks onto 180-degree-apart false matches that
+    # are internally consistent; a checkerboard is ambiguous the same way)
     rng = np.random.default_rng(3)
-    tex = rng.uniform(0, 255, (64, 64, 3))
+    tex = rng.uniform(0, 255, (128, 192, 3))
     tex = ndi.gaussian_filter(tex, (2, 2, 0))
     tex = ((tex - tex.min()) / np.ptp(tex) * 255).astype(np.uint8)
     cv2.imwrite(str(tmp_path / "tex.png"), tex)
@@ -33,19 +35,24 @@ def make_cube_obj(tmp_path, size=0.2):
         (-s, -s, -s), (s, -s, -s), (s, s, -s), (-s, s, -s),
         (-s, -s, s), (s, -s, s), (s, s, s), (-s, s, s),
     ]
-    uvs = [(0, 0), (1, 0), (1, 1), (0, 1)]
-    faces = [  # quads (v indices, 1-based), uv 1..4 per quad
+    faces = [  # quads (v indices, 1-based)
         (1, 2, 3, 4), (5, 8, 7, 6), (1, 5, 6, 2),
         (2, 6, 7, 3), (3, 7, 8, 4), (5, 1, 4, 8),
     ]
+    # atlas tiles: 3 cols x 2 rows; face k -> tile (k % 3, k // 3)
+    uvs = []
+    for k in range(6):
+        cx0, cy0 = (k % 3) / 3.0, (k // 3) / 2.0
+        cx1, cy1 = cx0 + 1 / 3.0, cy0 + 0.5
+        uvs += [(cx0, cy0), (cx1, cy0), (cx1, cy1), (cx0, cy1)]
     lines = ["mtllib cube.mtl", "usemtl m"]
     for v in verts:
         lines.append(f"v {v[0]} {v[1]} {v[2]}")
     for u in uvs:
         lines.append(f"vt {u[0]} {u[1]}")
-    for f in faces:
+    for fk, f in enumerate(faces):
         lines.append(
-            "f " + " ".join(f"{vi}/{k+1}" for k, vi in enumerate(f))
+            "f " + " ".join(f"{vi}/{4*fk+k+1}" for k, vi in enumerate(f))
         )
     p = tmp_path / "cube.obj"
     p.write_text("\n".join(lines) + "\n")
