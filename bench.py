@@ -49,7 +49,10 @@ def main():
 
     # production-shape distilled render field (weights irrelevant to cost)
     baked = init_distilled(jax.random.PRNGKey(0))
-    rcfg = RenderConfig(n_coarse=32, n_fine=32, perturb=False, chunk=1 << 15)
+    # coarse-only reference renders: the importance-sampling machinery
+    # (resample + merge-sort + second field eval) costs ~15x a plain
+    # evaluation on TPU and adds nothing for feature extraction
+    rcfg = RenderConfig(n_coarse=64, n_fine=0, perturb=False, chunk=1 << 17)
     aabb = jnp.asarray([[0.3] * 3, [0.7] * 3])
 
     import scipy.ndimage as ndi

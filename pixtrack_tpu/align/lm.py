@@ -91,6 +91,63 @@ class AlignState:
     grad_norm: jax.Array
 
 
+def _pack_level(data: LevelData):
+    """Corner-pack the level's feature (+confidence) map once per align call;
+    the LM loop then needs ONE gather row per point per iteration (see
+    interpolate.pack_fmap). Returns (packed, has_conf)."""
+    from pixtrack_tpu.align.interpolate import pack_fmap
+
+    fm = data.fmap
+    has_conf = data.conf is not None
+    if has_conf:
+        fm = jnp.concatenate([fm, data.conf[..., None]], axis=-1)
+    return pack_fmap(fm), has_conf
+
+
+def _residuals_and_jacobian_packed(
+    T: Pose, data: LevelData, packed, has_conf: bool, camera: Camera,
+    cfg: AlignConfig, compute_jac: bool = True,
+):
+    """Packed-map variant of _residuals_and_jacobian (one gather per point)."""
+    from pixtrack_tpu.align.interpolate import interpolate_packed
+
+    p_cam = T.transform(data.p3d)
+    p2d_img, visible = camera.project(p_cam)
+    p2d = p2d_img * data.scale
+
+    vals, grad, in_map = interpolate_packed(packed, p2d, compute_grad=compute_jac)
+    if has_conf:
+        f_q, cq = vals[:, :-1], vals[:, -1]
+        grad = grad[:, :-1]
+    else:
+        f_q, cq = vals, None
+    r = f_q - data.f_ref
+    valid = data.mask & visible & in_map
+
+    e2 = jnp.sum(r * r, axis=-1)
+    w_static = jnp.where(valid, 1.0, 0.0)
+    if cfg.use_confidence:
+        w_static = w_static * data.w_ref
+        if cq is not None:
+            fl = cfg.confidence_floor
+            w_static = w_static * (fl + (1.0 - fl) * jnp.clip(cq, 0.0, 1.0))
+    w_robust = 1.0 / (1.0 + e2 / (cfg.robust_c**2))
+    w = w_static * w_robust
+
+    if not compute_jac:
+        return r, None, w, valid, (e2, w_static)
+
+    N = p_cam.shape[0]
+    J_pcam = jnp.concatenate(
+        [-so3_hat(p_cam), jnp.broadcast_to(jnp.eye(3, dtype=p_cam.dtype), (N, 3, 3))],
+        axis=-1,
+    )
+    J_proj = camera.project_jacobian(p_cam) * data.scale[None, :, None]
+    J_pix = jnp.einsum("nij,njk->nik", J_proj, J_pcam)
+    J = jnp.einsum("ncd,ndk->nck", grad, J_pix)
+    return r, J, w, valid, (e2, w_static)
+
+
 def _residuals_and_jacobian(
     T: Pose, data: LevelData, camera: Camera, cfg: AlignConfig,
     compute_jac: bool = True,
@@ -166,58 +223,75 @@ def residual_cost(T: Pose, data: LevelData, camera: Camera, cfg: AlignConfig):
 def align_level(
     T_init: Pose, data: LevelData, camera: Camera, cfg: AlignConfig
 ) -> AlignState:
-    """Run LM on one pyramid level. Fully jittable; static iteration bound."""
+    """Run LM on one pyramid level. Fully jittable; static iteration bound.
 
-    def compute_step(T, lam):
-        r, J, w, valid, (e2, w_static) = _residuals_and_jacobian(T, data, camera, cfg)
+    Deferred-accept LM: each iteration makes ONE residual/Jacobian
+    evaluation (at the current candidate). The candidate is accepted or
+    rejected against the best cost so far using the cost that evaluation
+    already produced; on rejection the next step re-solves from the BEST
+    pose's memoized (H, g) with increased damping — no re-evaluation. The
+    classic eval-step-eval loop costs exactly 2x this (measured: the LM is
+    the per-frame bottleneck and each evaluation is feature-gather-bound)."""
+    packed, has_conf = _pack_level(data)
+
+    def evaluate(T):
+        r, J, w, valid, (e2, w_static) = _residuals_and_jacobian_packed(
+            T, data, packed, has_conf, camera, cfg
+        )
         cost = _mean_cost(e2, w_static, valid, cfg)
-        wr = r * w[:, None]  # (N, C)
-        g = jnp.einsum("nck,nc->k", J, wr)  # (6,)
-        H = jnp.einsum("nck,ncl->kl", J * w[:, None, None], J)  # (6, 6)
+        wr = r * w[:, None]
+        g = jnp.einsum("nck,nc->k", J, wr)
+        H = jnp.einsum("nck,ncl->kl", J * w[:, None, None], J)
+        return cost, g, H, jnp.sum(valid)
+
+    def solve(H, g, lam):
         diag = jnp.diagonal(H)
         H_damped = H + (lam * diag + cfg.eps) * jnp.eye(6, dtype=H.dtype)
         delta = -jax.scipy.linalg.solve(H_damped, g, assume_a="pos")
-        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
-        return delta, g, cost, valid
+        return jnp.where(jnp.isfinite(delta), delta, 0.0)
 
+    # carry: best (T, cost, g, H), candidate T, lam, i, done, gnorm
     def body(carry):
-        T, lam, best_cost, i, done, gnorm = carry
-        delta, g, cost, valid = compute_step(T, lam)
-        T_new = T.retract(delta)
-        new_cost, _ = residual_cost(T_new, data, camera, cfg)
-        accept = new_cost < cost
+        T_best, c_best, g_best, H_best, T_cand, lam, i, done, _ = carry
+        c_cand, g_cand, H_cand, _ = evaluate(T_cand)
+        accept = c_cand < c_best
 
-        T_next = jax.tree.map(
-            lambda a, b: jnp.where(accept, a, b), T_new, T
-        )
+        T_b = jax.tree.map(lambda a, b: jnp.where(accept, a, b), T_cand, T_best)
+        c_b = jnp.where(accept, c_cand, c_best)
+        g_b = jnp.where(accept, g_cand, g_best)
+        H_b = jnp.where(accept, H_cand, H_best)
         lam_next = jnp.clip(
             jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up),
-            cfg.lambda_min,
-            cfg.lambda_max,
+            cfg.lambda_min, cfg.lambda_max,
         )
+        delta = solve(H_b, g_b, lam_next)
+        T_next = T_b.retract(delta)
 
         # Reference early-stop rule (pixtrack_optimizer.py:6-18):
         # stop when ||grad|| small OR the accepted step is small.
-        gnorm = jnp.linalg.norm(g)
+        gnorm = jnp.linalg.norm(g_b)
         dR, dt = Pose.exp(delta).magnitude()
         small_grad = gnorm < cfg.grad_stop_criteria
         small_step = accept & (dt < cfg.dt_stop_criteria) & (dR < cfg.dR_stop_criteria)
         done_next = done | small_grad | small_step
-
-        best = jnp.minimum(best_cost, new_cost)
-        return (T_next, lam_next, best, i + 1, done_next, gnorm)
+        return (T_b, c_b, g_b, H_b, T_next, lam_next, i + 1, done_next, gnorm)
 
     def cond(carry):
-        _, _, _, i, done, _ = carry
+        i, done = carry[6], carry[7]
         return (i < cfg.num_iters) & (~done)
 
     lam0 = jnp.asarray(cfg.lambda_init, jnp.float32)
-    cost0, nvalid0 = residual_cost(T_init, data, camera, cfg)
-    carry = (T_init, lam0, cost0, jnp.asarray(0), jnp.asarray(False), jnp.asarray(jnp.inf, jnp.float32))
-    T, lam, best_cost, iters, done, gnorm = jax.lax.while_loop(cond, body, carry)
-    cost_final, nvalid = residual_cost(T, data, camera, cfg)
+    c0, g0, H0, nvalid0 = evaluate(T_init)
+    delta0 = solve(H0, g0, lam0)
+    carry = (
+        T_init, c0, g0, H0, T_init.retract(delta0), lam0,
+        jnp.asarray(1), jnp.asarray(False), jnp.linalg.norm(g0),
+    )
+    T_best, c_best, g_best, H_best, _, lam, iters, done, gnorm = (
+        jax.lax.while_loop(cond, body, carry)
+    )
     return AlignState(
-        T=T, cost=cost_final, num_valid=nvalid, num_iters=iters,
+        T=T_best, cost=c_best, num_valid=nvalid0, num_iters=iters,
         converged=done, grad_norm=gnorm,
     )
 

@@ -4,16 +4,19 @@ Subcommands replace the reference's shell-script zoo (images_pipeline.sh,
 obj_pipeline.sh, train_ingp_nerf.sh, run_inference.sh, run_ycb_inference.sh
 + per-script argparse CLIs):
 
-  reconstruct  — triangulate an SfM model from posed views
-  train-nerf   — train the hash-grid NeRF on transforms.json
-  nerf-sfm     — re-render training views from the NeRF + re-triangulate
-  augment      — rotation-augment the SfM model (aug_sfm + db + covis)
-  track        — run the flagship tracker on a query folder
-  track-ycb    — YCB-Video evaluation run
-  visualize    — render pose overlays from poses.pkl
-  eval         — trajectory metrics from poses.pkl (+ optional GT)
-  demo         — synthetic end-to-end smoke run (no external data needed)
-  bench        — run the repo benchmark
+  reconstruct    — unposed incremental SfM from raw images
+  sfm-from-obj   — textured mesh -> posed renders -> SfM (obj pipeline)
+  extract-frames — video -> frame folder
+  train-nerf     — train the hash-grid NeRF on transforms.json
+  nerf-sfm       — re-render training views from the NeRF + re-triangulate
+  augment        — rotation-augment the SfM model (aug_sfm + db + covis)
+  bundle-adjust  — refine an SfM model (joint BA)
+  track          — run the flagship tracker on a query folder
+  track-ycb      — YCB-Video evaluation run
+  visualize      — render pose overlays from poses.pkl
+  eval           — trajectory metrics from poses.pkl (+ optional GT)
+  demo           — synthetic end-to-end smoke run (no external data needed)
+  bench          — run the repo benchmark
 """
 
 from __future__ import annotations
@@ -201,6 +204,90 @@ def _cmd_bench(args):
                    run_name="__main__")
 
 
+def _cmd_reconstruct(args):
+    """Unposed SfM from raw images (the run_reconstruction.py role:
+    reference scripts/run_reconstruction.py:39-61)."""
+    import shutil
+
+    import numpy as np
+
+    from pixtrack_tpu.mapping.incremental import incremental_sfm
+    from pixtrack_tpu.pipelines.assets import layout
+    from pixtrack_tpu.sfm import colmap_io
+    from pixtrack_tpu.tracking.refiner import infer_camera_from_image
+    from pixtrack_tpu.utils.io import _list_images, _read_rgb
+
+    paths = layout(args.object_path)
+    mapping = paths["mapping"]
+    mapping.mkdir(parents=True, exist_ok=True)
+    if args.images and str(args.images) != str(mapping):
+        for p in _list_images(args.images):
+            shutil.copy(p, mapping)
+    files = _list_images(mapping)
+    images = {i + 1: _read_rgb(f) for i, f in enumerate(files)}
+    names = {i + 1: Path(f).name for i, f in enumerate(files)}
+    h, w = next(iter(images.values())).shape[:2]
+    cam = infer_camera_from_image((h, w))
+    cam_rec = colmap_io.CameraRecord(
+        1, "SIMPLE_RADIAL", w, h,
+        np.array([float(cam.f[0]), w / 2.0, h / 2.0, 0.0]),
+    )
+    scene = incremental_sfm(images, cam_rec, names=names,
+                            verbose=args.verbose)
+    paths["ref_sfm"].mkdir(parents=True, exist_ok=True)
+    scene.save(paths["ref_sfm"])
+    print(f"reconstructed {len(scene.images)}/{len(images)} images, "
+          f"{len(scene.points3D)} points -> {paths['ref_sfm']}")
+
+
+def _cmd_sfm_from_obj(args):
+    """Textured-mesh -> posed renders -> SfM (the create_sfm_from_obj role,
+    reference scripts/create_sfm_from_obj.py; obj_pipeline.sh step 1)."""
+    from pixtrack_tpu.mapping.mesh_render import create_scene_from_mesh
+    from pixtrack_tpu.pipelines.assets import layout
+
+    paths = layout(args.object_path)
+    scene = create_scene_from_mesh(
+        args.obj, out_dir=paths["ref_sfm"], image_size=args.image_size,
+        subdiv=args.subdiv,
+    )
+    print(f"mesh SfM: {len(scene.images)} views, {len(scene.points3D)} "
+          f"points -> {paths['ref_sfm']}")
+
+
+def _cmd_extract_frames(args):
+    """Video -> frame folder (colmap2ingp's ffmpeg role, cv2-based)."""
+    import cv2
+
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    cap = cv2.VideoCapture(args.video)
+    i = saved = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if i % args.every == 0:
+            cv2.imwrite(str(out / f"frame_{saved:05d}.png"), frame)
+            saved += 1
+        i += 1
+    cap.release()
+    print(f"extracted {saved} frames -> {out}")
+
+
+def _cmd_bundle_adjust(args):
+    """Refine an SfM model in place (COLMAP bundle_adjuster role)."""
+    from pixtrack_tpu.mapping.bundle import bundle_adjust_scene
+    from pixtrack_tpu.sfm.scene import SceneModel
+
+    scene = SceneModel.load(args.model)
+    refined = bundle_adjust_scene(scene, iters=args.iters)
+    out = Path(args.out or args.model)
+    out.mkdir(parents=True, exist_ok=True)
+    refined.save(out)
+    print(f"bundle-adjusted {len(scene.images)} images -> {out}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="pixtrack-tpu", description=__doc__)
     p.add_argument(
@@ -259,6 +346,33 @@ def main(argv=None):
 
     s = sub.add_parser("bench", help="run the benchmark")
     s.set_defaults(fn=_cmd_bench)
+
+    s = sub.add_parser("reconstruct",
+                       help="unposed SfM from raw images (run_reconstruction)")
+    s.add_argument("--object_path", required=True)
+    s.add_argument("--images", help="source image folder (copied to mapping/)")
+    s.add_argument("--verbose", action="store_true")
+    s.set_defaults(fn=_cmd_reconstruct)
+
+    s = sub.add_parser("sfm-from-obj",
+                       help="textured mesh -> posed renders -> SfM")
+    s.add_argument("--object_path", required=True)
+    s.add_argument("--obj", required=True)
+    s.add_argument("--subdiv", type=int, default=1)
+    s.add_argument("--image_size", type=int, default=512)
+    s.set_defaults(fn=_cmd_sfm_from_obj)
+
+    s = sub.add_parser("extract-frames", help="video -> frame folder")
+    s.add_argument("--video", required=True)
+    s.add_argument("--out_dir", required=True)
+    s.add_argument("--every", type=int, default=1)
+    s.set_defaults(fn=_cmd_extract_frames)
+
+    s = sub.add_parser("bundle-adjust", help="refine an SfM model (BA)")
+    s.add_argument("--model", required=True)
+    s.add_argument("--out")
+    s.add_argument("--iters", type=int, default=20)
+    s.set_defaults(fn=_cmd_bundle_adjust)
 
     args = p.parse_args(argv)
     if args.platform:

@@ -71,6 +71,10 @@ class TrackerConfig:
     mask_erode_iters: int = 1
     mask_dilate_iters: int = 5
     render_spp: int = 1
+    # coarse-only tracking renders (96 uniform samples): the two-pass
+    # importance sampler costs ~15x a plain eval on TPU and the extracted
+    # features don't benefit; viz keeps the quality path
+    fast_render: bool = True
     max_cache_entries: int = 64
     # Rounds of (render reference at current estimate -> refine) per frame.
     # 1 == reference behavior (render at the previous pose only). More rounds
@@ -94,6 +98,8 @@ class PixTrackTracker(PoseTracker):
         self.scene = scene
         self.config = config
         self.testbed = testbed
+        if config.fast_render and testbed is not None:
+            testbed.n_coarse, testbed.n_fine = 96, 0
         self.nerf2sfm = nerf2sfm
         self.eval_path = eval_path
         self.refiner = Refiner(scene, extractor, align_cfg)
