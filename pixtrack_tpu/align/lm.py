@@ -233,6 +233,11 @@ def align_level(
     classic eval-step-eval loop costs exactly 2x this (measured: the LM is
     the per-frame bottleneck and each evaluation is feature-gather-bound)."""
     packed, has_conf = _pack_level(data)
+    # Pin the packed map as a materialized loop input: when this align runs
+    # inside the full frame program, XLA otherwise schedules/fuses the
+    # feature-pyramid producer chain against the while loop and the loop's
+    # per-iteration cost more than doubles (measured 72 -> 180 us/iter).
+    packed = jax.lax.optimization_barrier(packed)
 
     def evaluate(T):
         r, J, w, valid, (e2, w_static) = _residuals_and_jacobian_packed(

@@ -266,3 +266,38 @@ def distill(
         if log_every and (i + 1) % log_every == 0:
             print(f"distill step {i+1}: loss {float(last):.5f}", flush=True)
     return student
+
+
+def save_distilled(path, field: DistilledField) -> None:
+    """Persist a DistilledField as .npz (same role as save_snapshot for
+    NGPField: train/distill offline once, load in trackers/benchmarks)."""
+    arrays = {}
+    for i, p in enumerate(field.trunk):
+        arrays[f"trunk{i}_k"] = np.asarray(p["kernel"])
+        arrays[f"trunk{i}_b"] = np.asarray(p["bias"])
+    arrays["head_k"] = np.asarray(field.head["kernel"])
+    arrays["head_b"] = np.asarray(field.head["bias"])
+    for i, p in enumerate(field.color):
+        arrays[f"color{i}_k"] = np.asarray(p["kernel"])
+        arrays[f"color{i}_b"] = np.asarray(p["bias"])
+    arrays["meta"] = np.asarray(
+        [field.octaves, field.geo_features, len(field.trunk), len(field.color)]
+    )
+    np.savez(path, **arrays)
+
+
+def load_distilled(path) -> DistilledField:
+    z = np.load(path)
+    octaves, geo, n_trunk, n_color = (int(v) for v in z["meta"])
+    trunk = [
+        {"kernel": jnp.asarray(z[f"trunk{i}_k"]), "bias": jnp.asarray(z[f"trunk{i}_b"])}
+        for i in range(n_trunk)
+    ]
+    color = [
+        {"kernel": jnp.asarray(z[f"color{i}_k"]), "bias": jnp.asarray(z[f"color{i}_b"])}
+        for i in range(n_color)
+    ]
+    head = {"kernel": jnp.asarray(z["head_k"]), "bias": jnp.asarray(z["head_b"])}
+    return DistilledField(
+        trunk=trunk, head=head, color=color, octaves=octaves, geo_features=geo
+    )

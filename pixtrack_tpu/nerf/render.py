@@ -34,6 +34,7 @@ class RenderConfig:
     perturb: bool = True
     chunk: int = 16384
     density_scale: float = 1.0
+    fused: bool = True  # DistilledField: evaluate via the Pallas fused MLP
 
 
 def rays_from_camera(
@@ -179,12 +180,25 @@ def render_rays(
     dT = d_g.T  # (3, R)
     dnT = dT / jnp.maximum(jnp.linalg.norm(dT, axis=0, keepdims=True), 1e-9)
 
+    # fused Pallas path only on real TPU: elsewhere (CPU tests) the kernel
+    # would run in interpret mode, far slower than the plain XLA path
+    use_fused = (
+        cfg.fused
+        and type(field).__name__ == "DistilledField"
+        and jax.default_backend() == "tpu"
+    )
+
     def eval_field(ts_):
         R, S = ts_.shape
         x = oT[:, :, None] + ts_[None, :, :] * dT[:, :, None]  # (3, R, S)
         x = jnp.clip(x, 0.0, 1.0).reshape(3, R * S)
         d_rep = jnp.broadcast_to(dnT[:, :, None], (3, R, S)).reshape(3, R * S)
-        sigma, rgbT = field.apply(params, x, d_rep, method=NGPField.field_T)
+        if use_fused:
+            from pixtrack_tpu.nerf.fused_mlp import fused_distilled_eval
+
+            sigma, rgbT = fused_distilled_eval(field, x, d_rep)
+        else:
+            sigma, rgbT = field.apply(params, x, d_rep, method=NGPField.field_T)
         return sigma.reshape(R, S), rgbT.reshape(3, R, S)
 
     if cfg.n_fine > 0:
@@ -231,7 +245,10 @@ def render_image(
         snap_to_pixel_centers,
     )
     n = origins.shape[0]
-    chunk = cfg.chunk
+    # pad rays to a lane-friendly granule, not the full chunk (a 320x240
+    # render padded to a 1<<17 chunk would waste 70% of the samples)
+    granule = 1024
+    chunk = min(cfg.chunk, (n + granule - 1) // granule * granule)
     n_pad = (n + chunk - 1) // chunk * chunk
     pad = n_pad - n
     origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], axis=0)
