@@ -55,6 +55,15 @@ class AlignConfig:
     confidence_floor: float = 0.2  # keeps weights from collapsing (see
                                    # observations.observe_points docstring)
     eps: float = 1e-8
+    # Cost-stagnation stop (Ceres-style function_tolerance), IN ADDITION to
+    # the reference grad/step rule: stop after `stagnation_iters` consecutive
+    # iterations without a relative best-cost improvement of `cost_rel_tol`.
+    # pixloc's LEARNED damping shrinks steps to ~0 at convergence so its
+    # step-size criteria fire; classic adaptive LM at a plateau keeps taking
+    # small accept/reject bounces forever (measured: the fine level burns the
+    # full 150 budget with the pose long converged). 0 disables.
+    stagnation_iters: int = 10
+    cost_rel_tol: float = 1e-4
 
 
 @flax.struct.dataclass
@@ -240,13 +249,54 @@ def align_level(
     packed = jax.lax.optimization_barrier(packed)
 
     def evaluate(T):
-        r, J, w, valid, (e2, w_static) = _residuals_and_jacobian_packed(
-            T, data, packed, has_conf, camera, cfg
-        )
+        """One residual/Jacobian evaluation -> (cost, g, H, n_valid).
+
+        The naive normal equations build J = grad @ J_pix as an (N, C, 6)
+        tensor and contract it twice; here the channel dimension is
+        contracted FIRST (G = grad^T grad is 2x2, gr = grad^T r is 2), so
+        every pose-side tensor is (N, 2, *) — algebraically identical
+        H = J_pix^T (w G) J_pix and g = J_pix^T (w gr), ~6x less HBM traffic
+        and fewer ops in the while-loop body (measured ~80 -> ~35 us/iter
+        for the J/H/g chain at N=4096, C=13)."""
+        from pixtrack_tpu.align.interpolate import interpolate_packed
+
+        p_cam = T.transform(data.p3d)
+        p2d_img, visible = camera.project(p_cam)
+        p2d = p2d_img * data.scale
+
+        vals, grad, in_map = interpolate_packed(packed, p2d, compute_grad=True)
+        if has_conf:
+            f_q, cq = vals[:, :-1], vals[:, -1]
+            grad = grad[:, :-1]
+        else:
+            f_q, cq = vals, None
+        r = f_q - data.f_ref
+        valid = data.mask & visible & in_map
+
+        e2 = jnp.sum(r * r, axis=-1)
+        w_static = jnp.where(valid, 1.0, 0.0)
+        if cfg.use_confidence:
+            w_static = w_static * data.w_ref
+            if cq is not None:
+                fl = cfg.confidence_floor
+                w_static = w_static * (fl + (1.0 - fl) * jnp.clip(cq, 0.0, 1.0))
+        w = w_static / (1.0 + e2 / (cfg.robust_c**2))
         cost = _mean_cost(e2, w_static, valid, cfg)
-        wr = r * w[:, None]
-        g = jnp.einsum("nck,nc->k", J, wr)
-        H = jnp.einsum("nck,ncl->kl", J * w[:, None, None], J)
+
+        N = p_cam.shape[0]
+        J_pcam = jnp.concatenate(
+            [-so3_hat(p_cam),
+             jnp.broadcast_to(jnp.eye(3, dtype=p_cam.dtype), (N, 3, 3))],
+            axis=-1,
+        )
+        J_proj = camera.project_jacobian(p_cam) * data.scale[None, :, None]
+        J_pix = jnp.einsum("nij,njk->nik", J_proj, J_pcam)  # (N, 2, 6)
+
+        G = jnp.einsum("nca,ncb->nab", grad, grad)          # (N, 2, 2)
+        gr = jnp.einsum("nca,nc->na", grad, r)              # (N, 2)
+        M = jnp.einsum("nab,nbk->nak", G * w[:, None, None], J_pix)
+        H = jnp.einsum("nak,nal->kl", J_pix, M)
+        g = jnp.einsum("nak,na->k", J_pix, gr * w[:, None])
         return cost, g, H, jnp.sum(valid)
 
     def solve(H, g, lam):
@@ -255,11 +305,12 @@ def align_level(
         delta = -jax.scipy.linalg.solve(H_damped, g, assume_a="pos")
         return jnp.where(jnp.isfinite(delta), delta, 0.0)
 
-    # carry: best (T, cost, g, H), candidate T, lam, i, done, gnorm
+    # carry: best (T, cost, g, H), candidate T, lam, i, done, gnorm, stall
     def body(carry):
-        T_best, c_best, g_best, H_best, T_cand, lam, i, done, _ = carry
+        T_best, c_best, g_best, H_best, T_cand, lam, i, done, _, stall = carry
         c_cand, g_cand, H_cand, _ = evaluate(T_cand)
         accept = c_cand < c_best
+        improved = c_cand < c_best * (1.0 - cfg.cost_rel_tol)
 
         T_b = jax.tree.map(lambda a, b: jnp.where(accept, a, b), T_cand, T_best)
         c_b = jnp.where(accept, c_cand, c_best)
@@ -278,8 +329,12 @@ def align_level(
         dR, dt = Pose.exp(delta).magnitude()
         small_grad = gnorm < cfg.grad_stop_criteria
         small_step = accept & (dt < cfg.dt_stop_criteria) & (dR < cfg.dR_stop_criteria)
-        done_next = done | small_grad | small_step
-        return (T_b, c_b, g_b, H_b, T_next, lam_next, i + 1, done_next, gnorm)
+        # plus the Ceres-style cost-stagnation rule (see AlignConfig)
+        stall_next = jnp.where(improved, 0, stall + 1)
+        stagnated = (cfg.stagnation_iters > 0) & (stall_next >= cfg.stagnation_iters)
+        done_next = done | small_grad | small_step | stagnated
+        return (T_b, c_b, g_b, H_b, T_next, lam_next, i + 1, done_next, gnorm,
+                stall_next)
 
     def cond(carry):
         i, done = carry[6], carry[7]
@@ -290,9 +345,9 @@ def align_level(
     delta0 = solve(H0, g0, lam0)
     carry = (
         T_init, c0, g0, H0, T_init.retract(delta0), lam0,
-        jnp.asarray(1), jnp.asarray(False), jnp.linalg.norm(g0),
+        jnp.asarray(1), jnp.asarray(False), jnp.linalg.norm(g0), jnp.asarray(0),
     )
-    T_best, c_best, g_best, H_best, _, lam, iters, done, gnorm = (
+    T_best, c_best, g_best, H_best, _, lam, iters, done, gnorm, _ = (
         jax.lax.while_loop(cond, body, carry)
     )
     return AlignState(
