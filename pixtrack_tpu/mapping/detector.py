@@ -66,6 +66,7 @@ def _detect(img, max_keypoints: int, nms_radius: int, border: int):
     else:
         resp = harris_response(img)
         H, W = img.shape
+    resp_raw = resp
     resp = _nms(resp, nms_radius)
     # kill borders
     ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
@@ -77,6 +78,31 @@ def _detect(img, max_keypoints: int, nms_radius: int, border: int):
     flat = resp.reshape(-1)
     scores, idx = jax.lax.top_k(flat, max_keypoints)
     kp = jnp.stack([idx % W, idx // W], axis=-1).astype(jnp.float32)  # (x, y)
+
+    # sub-pixel refinement: quadratic fit of the RAW response over the 3x3
+    # neighborhood of each peak (integer keypoints leave ~0.5 px uniform
+    # localization noise — the dominant error source of the whole SfM chain;
+    # descriptors already sample bilinearly so they use the refined
+    # positions directly)
+    raw = resp_raw.reshape(-1)
+
+    def at(dy, dx):
+        return raw[jnp.clip(idx + dy * W + dx, 0, H * W - 1)]
+
+    gx = 0.5 * (at(0, 1) - at(0, -1))
+    gy = 0.5 * (at(1, 0) - at(-1, 0))
+    hxx = at(0, 1) - 2.0 * at(0, 0) + at(0, -1)
+    hyy = at(1, 0) - 2.0 * at(0, 0) + at(-1, 0)
+    hxy = 0.25 * (at(1, 1) - at(1, -1) - at(-1, 1) + at(-1, -1))
+    det = hxx * hyy - hxy * hxy
+    safe = jnp.abs(det) > 1e-18
+    det = jnp.where(safe, det, 1.0)
+    dx = -(hyy * gx - hxy * gy) / det
+    dy = -(hxx * gy - hxy * gx) / det
+    ok = safe & (jnp.abs(dx) < 1.0) & (jnp.abs(dy) < 1.0)
+    off = jnp.stack([jnp.where(ok, dx, 0.0), jnp.where(ok, dy, 0.0)], axis=-1)
+    kp = kp + jnp.clip(off, -0.6, 0.6)
+
     # relative threshold: keep corners within 4 orders of magnitude of the
     # best (absolute positivity drops weak-texture corners entirely)
     valid = jnp.isfinite(scores) & (scores > 1e-7 * jnp.maximum(scores[0], 1e-12))

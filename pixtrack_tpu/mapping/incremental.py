@@ -259,7 +259,8 @@ def _triangulate_pair(R, t, p0, p1):
 def estimate_relative_pose(
     p0n: np.ndarray, p1n: np.ndarray, key, n_hyp: int = 4096,
     thresh_px: float = 2.0, focal: float = 1.0,
-) -> Tuple[Pose, np.ndarray]:
+    return_candidates: bool = False,
+):
     """Two-view relative pose (cam0 -> cam1, unit baseline) from normalized
     correspondences, via essential RANSAC + cheirality vote over the four
     (R, t) decompositions. Returns (T_0to1, inlier mask).
@@ -295,7 +296,7 @@ def estimate_relative_pose(
     # chirality + reprojection vote over the union of candidates: triangulate
     # with each motion, count inliers that land in front of both cameras AND
     # reproject within threshold into image 1
-    best, best_score, best_inl = None, -1, None
+    scored = []
     for (R, t, inl) in candidates:
         tn = t / max(np.linalg.norm(t), 1e-12)
         Rj = jnp.asarray(R, jnp.float32)
@@ -305,20 +306,43 @@ def estimate_relative_pose(
         uv1 = x1[:, :2] / jnp.where(jnp.abs(x1[:, 2:]) < 1e-9, 1e-9, x1[:, 2:])
         reproj_ok = jnp.sum((uv1 - p1) ** 2, axis=1) < thresh
         score = int(jnp.sum((z0 > 0) & (z1 > 0) & reproj_ok & inl))
-        if score > best_score:
-            best_score, best, best_inl = score, (R, tn), inl
-    R, t = best
-    inliers = best_inl
-    T01 = Pose.from_Rt(jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32))
-    # Maximum-likelihood polish: Gauss-Newton directly on the SAMPSON error
-    # over (R, t) — 5 true DOF, no structure in the loop. The algebraic
-    # 8-point (and alternating triangulate-refine schemes) are biased ~15 deg
-    # for narrow-baseline object pairs at 1px noise; Sampson-GN recovers the
-    # statistically attainable accuracy.
-    T01 = refine_relative_pose_sampson(
-        T01, p0, p1, jnp.asarray(inliers, jnp.float32)
-    )
-    return T01, np.asarray(inliers)
+        scored.append((score, R, tn, inl))
+    scored.sort(key=lambda s: -s[0])
+    best_score = scored[0][0]
+
+    def polish(R, tn, inl):
+        T = Pose.from_Rt(jnp.asarray(R, jnp.float32), jnp.asarray(tn, jnp.float32))
+        # Maximum-likelihood polish: Gauss-Newton directly on the SAMPSON
+        # error over (R, t) — 5 true DOF, no structure in the loop. The
+        # algebraic 8-point (and alternating triangulate-refine schemes) are
+        # biased ~15 deg for narrow-baseline object pairs at 1px noise;
+        # Sampson-GN recovers the statistically attainable accuracy.
+        return refine_relative_pose_sampson(T, p0, p1, jnp.asarray(inl, jnp.float32))
+
+    if not return_candidates:
+        _, R, tn, inl = scored[0]
+        return polish(R, tn, inl), np.asarray(inl)
+
+    # Near-planar pairs: the homography decomposition is TWO-fold ambiguous
+    # and both branches (plus their E shadows) reproject perfectly — a
+    # single pair cannot decide. Return every near-best, rotationally
+    # distinct candidate (polished); the caller disambiguates with graph
+    # (triangle) consistency.
+    out = []
+    for (score, R, tn, inl) in scored:
+        if score < 0.7 * max(best_score, 1):
+            continue
+        dup = False
+        for (_, T_prev, _) in out:
+            c = (np.trace(np.asarray(T_prev.R) @ R.T) - 1) / 2
+            if np.degrees(np.arccos(np.clip(c, -1, 1))) < 3.0:
+                dup = True
+                break
+        if not dup:
+            out.append((score, polish(R, tn, inl), np.asarray(inl)))
+        if len(out) == 4:
+            break
+    return out
 
 
 @_f32_precision
@@ -678,9 +702,14 @@ def incremental_sfm(
             track_of_obs[obs] = ti
     xyz_of_track: Dict[int, np.ndarray] = {}
 
-    def triangulate_ready(registered: List[int]) -> None:
+    def triangulate_ready(registered: List[int], gate_px: float = 6.0) -> None:
         """(Re-)triangulate all tracks with >= 2 registered observations,
-        in one padded batch."""
+        in one padded batch. ``gate_px`` is the reprojection acceptance
+        gate: chain-initialized models carry large accumulated scale/pose
+        drift, and the loop-closure tracks that would let bundle adjustment
+        REMOVE that drift reproject far off until the first BA rounds run —
+        a tight gate drops exactly the constraints that fix the model, so
+        the polish phase opens the gate first and tightens it per round."""
         from pixtrack_tpu.mapping.triangulate import triangulate_tracks
 
         cand, cand_ids = [], []
@@ -694,7 +723,7 @@ def incremental_sfm(
             return
         xyz, kept, _ = triangulate_tracks(
             cand, kp_ic, {i: poses[i] for i in reg}, {1: camera},
-            {i: 1 for i in reg}, max_reproj_error=6.0,
+            {i: 1 for i in reg}, max_reproj_error=gate_px,
         )
         kept_set = {tuple(t[0]): None for t in kept}
         # map kept back to track ids by first observation
@@ -839,7 +868,11 @@ def incremental_sfm(
             triangulate_ready(list(poses))
 
     # final polish: BA -> re-register every pose against the converged
-    # structure (robust GN; snaps chain-drifted poses back) -> BA again
+    # structure (robust GN; snaps chain-drifted poses back) -> BA again.
+    # (A coarse-to-fine triangulation gate was tried here to readmit
+    # loop-closure tracks: it measurably HURTS — tracks hundreds of px off
+    # are fully downweighted by the robust kernel, so the wide gate only
+    # admits junk. Closure must come from a better init, not the gate.)
     global_ba(ba_iters=25)
     triangulate_ready(list(poses))
     for rid in list(poses):

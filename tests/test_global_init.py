@@ -1,0 +1,85 @@
+"""Rotation/translation averaging (mapping/global_init.py) on a synthetic
+pair graph: triangle filtering must remove consistent-looking junk edges and
+spectral averaging must recover the ring to ~noise level."""
+
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from pixtrack_tpu.mapping.global_init import (
+    average_rotations,
+    average_translations,
+    filter_edges_by_triangles,
+)
+
+
+def _ang(A, B):
+    c = (np.trace(A @ B.T) - 1) / 2
+    return np.degrees(np.arccos(np.clip(c, -1.0, 1.0)))
+
+
+def _ring_graph(rng, N=24, noise_deg=2.0):
+    centers = [
+        1.5 * np.array([np.sin(2 * np.pi * i / N), 0.2, np.cos(2 * np.pi * i / N)])
+        for i in range(N)
+    ]
+    gt_R, gt_t = [], []
+    for c in centers:
+        z = -c / np.linalg.norm(c)
+        x = np.cross(z, [0.0, 1.0, 0.0]); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z], axis=0)
+        gt_R.append(R)
+        gt_t.append(-R @ c)
+    rels = {}
+    for i in range(N):
+        for d in (1, 2, 3, 4):
+            j = (i + d) % N
+            a, b = (i, j) if i < j else (j, i)
+            if (a, b) in rels:
+                continue
+            R_ab = gt_R[b] @ gt_R[a].T
+            noise = Rotation.from_rotvec(
+                rng.normal(0, np.deg2rad(noise_deg), 3)
+            ).as_matrix()
+            # true unit translation of the pair in camera-b coordinates
+            c_a, c_b = centers[a], centers[b]
+            t_ab = -gt_R[b] @ (c_b - c_a)
+            t_ab = t_ab / np.linalg.norm(t_ab)
+            rels[(a, b)] = (noise @ R_ab, t_ab, 100)
+    return list(range(N)), gt_R, centers, rels
+
+
+def test_spectral_averaging_recovers_ring_with_junk_edges():
+    rng = np.random.default_rng(0)
+    ids, gt_R, centers, rels = _ring_graph(rng)
+    # junk edges: "confidently wrong" matches between far-apart views
+    for (a, b) in [(0, 12), (3, 15), (6, 18)]:
+        rels[(a, b)] = (
+            Rotation.random(random_state=5).as_matrix(),
+            np.array([1.0, 0.0, 0.0]), 40,
+        )
+
+    kept = filter_edges_by_triangles(rels, gate_deg=10.0)
+    assert all(e not in kept for e in [(0, 12), (3, 15), (6, 18)])
+
+    R = average_rotations(ids, kept)
+    # gauge-correct comparison: gt_i^T R_i must be one constant rotation
+    D = [gt_R[i].T @ R[i] for i in ids]
+    devs = [_ang(D[i], D[0]) for i in ids]
+    assert np.median(devs) < 3.0, devs
+    assert np.max(devs) < 6.0, devs
+
+
+def test_translation_averaging_recovers_centers():
+    rng = np.random.default_rng(1)
+    ids, gt_R, centers, rels = _ring_graph(rng, noise_deg=0.0)
+    R = {i: gt_R[i] for i in ids}
+    c_est = average_translations(ids, rels, R)
+    assert c_est is not None
+    # similarity-align (scale+translation; rotation gauge is fixed by R)
+    C = np.stack([c_est[i] for i in ids])
+    G = np.stack([centers[i] for i in ids])
+    C0, G0 = C - C.mean(0), G - G.mean(0)
+    s = np.sum(C0 * G0) / np.maximum(np.sum(C0 * C0), 1e-12)
+    err = np.linalg.norm(s * C0 - G0, axis=1)
+    assert np.median(err) < 0.05 * np.linalg.norm(G0, axis=1).mean()
