@@ -291,7 +291,14 @@ def estimate_relative_pose(
     Hm, inlH, _ = _homography_ransac(p0, p1, kH, thresh=thresh)
     for (R, t, n) in decompose_homography(np.asarray(Hm)):
         if np.linalg.norm(t) > 1e-6:
+            # BOTH translation signs: the homography decomposition carries a
+            # (t, n) <-> (-t, -n) sign ambiguity, and the branch paired with
+            # the wrong sign fails chirality wholesale. Measured on the cube
+            # rig: the CORRECT rotation (1-2 deg error) sat in the list with
+            # score 0 while a wrong 18-20-deg branch won — the root cause of
+            # the mapper's systematic per-link rotation bias.
             candidates.append((R, t, inlH))
+            candidates.append((R, -t, inlH))
 
     # chirality + reprojection vote over the union of candidates: triangulate
     # with each motion, count inliers that land in front of both cameras AND

@@ -59,6 +59,11 @@ class TestTwoView:
         assert float(dR) < 0.05 and float(dt) < 1e-3
 
 
+def _rot_deg(A, B):
+    c = (np.trace(A @ B.T) - 1) / 2
+    return np.degrees(np.arccos(np.clip(c, -1.0, 1.0)))
+
+
 class TestIncrementalSfM:
     def test_reconstructs_textured_object_rig(self, tmp_path):
         """Unposed ring of a textured cube (the mesh-render world: rich in
@@ -107,13 +112,45 @@ class TestIncrementalSfM:
             R_gt = np.asarray(gt_poses[j].R) @ np.asarray(gt_poses[i].R).T
             cosang = (np.trace(R_est @ R_gt.T) - 1) / 2
             errs.append(np.degrees(np.arccos(np.clip(cosang, -1, 1))))
-        # Functional gate (not an accuracy benchmark): most links land
-        # within a few degrees but individual RANSAC draws can break a
-        # chain link on this weak-texture rig. Accuracy tightens with
-        # learned descriptors (features/train.py) replacing the patch
-        # descriptor — the same upgrade the reference gets from SuperPoint.
-        assert np.median(errs) < 20.0, errs
+        # With the homography +/-t branch fix, pairwise links are ~1-4 deg
+        # and the whole ring stays globally consistent (measured r1: global
+        # median 4.7 deg, centers to ~7% of the rig radius). Gates leave
+        # headroom for RANSAC-draw variation.
+        assert np.median(errs) < 10.0, errs
+
+        # gauge-correct GLOBAL consistency: D_i = R_gt_i^T R_est_i must be
+        # one constant rotation (comparing R_est R_gt^T instead conjugates
+        # the gauge and reads as fake error)
+        D = {
+            i: np.asarray(gt_poses[i].R).T @ np.asarray(rec.pose_w2c(i).R)
+            for i in ids
+        }
+        ref = min(
+            ids,
+            key=lambda i: np.median(
+                [_rot_deg(D[i], D[j]) for j in ids]
+            ),
+        )
+        global_devs = [_rot_deg(D[i], D[ref]) for i in ids]
+        assert np.median(global_devs) < 12.0, global_devs
+
+        # camera centers after similarity alignment: within 20% of radius
+        c_est = np.stack([
+            -np.asarray(rec.pose_w2c(i).R).T @ np.asarray(rec.pose_w2c(i).t)
+            for i in ids
+        ])
+        c_gt = np.stack([
+            -np.asarray(gt_poses[i].R).T @ np.asarray(gt_poses[i].t)
+            for i in ids
+        ])
+        E0 = c_est - c_est.mean(0)
+        G0 = c_gt - c_gt.mean(0)
+        U, S, Vt = np.linalg.svd(G0.T @ E0)
+        Dm = np.diag([1, 1, np.sign(np.linalg.det(U @ Vt))])
+        sc = np.trace(np.diag(S) @ Dm) / (E0 ** 2).sum()
+        cerr = np.linalg.norm(sc * E0 @ (U @ Dm @ Vt).T - G0, axis=1)
+        assert np.median(cerr) < 0.2 * np.linalg.norm(G0, axis=1).mean(), cerr
 
         # mean reprojection error of the model (self-consistency)
         errors = rec.point_errors
-        assert np.mean(errors) < 2.0, np.mean(errors)
+        assert np.mean(errors) < 1.5, np.mean(errors)
