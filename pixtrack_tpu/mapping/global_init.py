@@ -242,16 +242,21 @@ def average_rotations(
         if not changed:
             break
 
-    # spectral gauge (global rotation, possibly improper sign handled by the
-    # per-block SO(3) projection) is arbitrary; align to the init if given
+    # The spectral gauge is arbitrary and RIGHT-multiplicative (w2c
+    # solutions differ by a world rotation: R_i' = R_i G). Align to the init
+    # by the mean of R_i^T init_i and right-multiply — estimating the gauge
+    # as init_i R_i^T (left side) yields per-camera CONJUGATIONS of G whose
+    # "mean" is meaningless, and left-applying it destroys the solution
+    # (measured: exactly this bug turned a 1.8-deg averaged ring into an
+    # 89-deg one whenever a chain init was supplied).
     if init:
         deltas = [
-            np.asarray(init[i], np.float64) @ R[i].T for i in ids if i in init
+            R[i].T @ np.asarray(init[i], np.float64) for i in ids if i in init
         ]
         if deltas:
             G = _quat_mean(deltas, np.ones(len(deltas)))
             for i in ids:
-                R[i] = G @ R[i]
+                R[i] = R[i] @ G
     return R
 
 

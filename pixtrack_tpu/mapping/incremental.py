@@ -690,6 +690,24 @@ def incremental_sfm(
             ids, matches, kp_n, f_mean, k_c, verbose=verbose
         )
         i0 = next(iter(poses))
+        # Loop closure by global averaging (mapping/global_init.py): the
+        # chain alone accumulates its per-link error around the ring with
+        # nothing to close it. With the homography +/-t branch fix the
+        # pairwise edges are unbiased (~1 deg links), and rotation +
+        # translation averaging over the triangle-consistent pair graph
+        # lands within ~2 deg / 8%-of-radius globally BEFORE any structure
+        # is built; falls back to the plain chain on sparse pair graphs.
+        key, k_g = jax.random.split(key)
+        from pixtrack_tpu.mapping.global_init import global_initialize
+
+        g_poses = global_initialize(
+            ids, matches, kp_n, f_mean, k_g, chain_init=poses,
+            verbose=verbose,
+        )
+        if g_poses is not None:
+            poses = g_poses
+            if verbose:
+                print(f"global init: averaged {len(poses)} poses")
     else:
         m01 = matches[(i0, i1)]
         k0 = np.nonzero(m01 >= 0)[0]
