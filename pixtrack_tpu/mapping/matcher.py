@@ -3,9 +3,7 @@
 Fills the hloc SuperGlue matching role (reference run_reconstruction.py:41-50
 uses SuperGlue 'indoor' weights — unreachable network download). For the
 asset pipeline's small-baseline rendered views, MNN + Lowe ratio on the
-normalized patch descriptors is reliable; the attentional matcher
-architecture (pixtrack_tpu.mapping.attention_matcher) plugs into the same
-(matches0, scores0) contract when trained weights exist.
+normalized patch descriptors is reliable.
 """
 
 from __future__ import annotations

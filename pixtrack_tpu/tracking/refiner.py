@@ -59,6 +59,19 @@ class ReferenceFeatures:
     ref_ids: Sequence[int]
 
 
+@dataclasses.dataclass
+class ReferenceSet:
+    """One dynamic render observed per reference id (r9 features_dicts
+    entry: shared render pose + per-db-reference feature dicts)."""
+
+    pose: Pose
+    ref_ids: Sequence[int]
+    per_ref: Dict[int, ReferenceFeatures]
+
+    def for_ref(self, ref_id: int) -> ReferenceFeatures:
+        return self.per_ref[int(ref_id)]
+
+
 class Refiner:
     def __init__(
         self,
@@ -118,15 +131,56 @@ class Refiner:
         """
         p3d, mask = self.select_points(ref_ids)
         pyr = self.extractor(ref_image)
-        feats, weights, valids = observe_points(pyr, pose_w2c, ref_camera, p3d, mask)
-        if ref_alpha is not None and interior_erode > 0:
-            from pixtrack_tpu.align.interpolate import interpolate_scalar
-            from pixtrack_tpu.tracking.mask import erode
+        interior = self._interior_map(ref_alpha, interior_erode)
+        return self._observe_reference(
+            pyr, interior, p3d, mask, pose_w2c, ref_camera, list(ref_ids)
+        )
 
-            interior = erode(
-                (jnp.asarray(ref_alpha) > 0.5).astype(jnp.float32),
-                size=interior_erode,
+    def extract_reference_set(
+        self,
+        ref_ids: Sequence[int],
+        pose_w2c: Pose,
+        ref_image: np.ndarray,
+        ref_camera: Camera,
+        ref_alpha: Optional[np.ndarray] = None,
+        interior_erode: int = 7,
+    ) -> "ReferenceSet":
+        """Per-reference observation packs from ONE rendered view.
+
+        r9's best-of-K loop (r9:235-263) refines against a separate feature
+        dict per reference id — each db reference selects its OWN 3D points
+        (those with an observation in that image) while all descriptors come
+        from the same dynamic NeRF render. The pyramid is extracted once and
+        observed K times with per-reference point selections."""
+        pyr = self.extractor(ref_image)
+        interior = self._interior_map(ref_alpha, interior_erode)
+        per_ref = {}
+        for rid in ref_ids:
+            p3d, mask = self.select_points([rid])
+            per_ref[int(rid)] = self._observe_reference(
+                pyr, interior, p3d, mask, pose_w2c, ref_camera, [int(rid)]
             )
+        return ReferenceSet(
+            pose=pose_w2c, ref_ids=[int(r) for r in ref_ids], per_ref=per_ref
+        )
+
+    def _interior_map(self, ref_alpha, interior_erode: int):
+        if ref_alpha is None or interior_erode <= 0:
+            return None
+        from pixtrack_tpu.tracking.mask import erode
+
+        return erode(
+            (jnp.asarray(ref_alpha) > 0.5).astype(jnp.float32),
+            size=interior_erode,
+        )
+
+    def _observe_reference(
+        self, pyr, interior, p3d, mask, pose_w2c, ref_camera, ref_ids
+    ) -> ReferenceFeatures:
+        feats, weights, valids = observe_points(pyr, pose_w2c, ref_camera, p3d, mask)
+        if interior is not None:
+            from pixtrack_tpu.align.interpolate import interpolate_scalar
+
             # the interior map lives at full reference resolution; sample it
             # at the raw image-space projections for every level
             p2d_img, _ = ref_camera.world2image(pose_w2c, p3d)
@@ -134,7 +188,7 @@ class Refiner:
             weights = tuple(w * wi for w in weights)
         return ReferenceFeatures(
             p3d=p3d, mask=mask, feats=feats, weights=weights, valids=valids,
-            pose=pose_w2c, ref_ids=list(ref_ids),
+            pose=pose_w2c, ref_ids=ref_ids,
         )
 
     # ---------------------------------------------------------------------

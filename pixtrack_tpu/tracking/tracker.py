@@ -40,6 +40,7 @@ from pixtrack_tpu.tracking.base import PoseTracker
 from pixtrack_tpu.tracking.mask import depth_to_object_mask
 from pixtrack_tpu.tracking.refiner import (
     ReferenceFeatures,
+    ReferenceSet,
     Refiner,
     RefineResult,
     infer_camera_from_image,
@@ -120,9 +121,9 @@ class PixTrackTracker(PoseTracker):
         self.hits = 0
         self.misses = 0
 
-        # dynamic reference feature cache: list of (R 3x3, ReferenceFeatures)
-        self._cache: List[Tuple[np.ndarray, ReferenceFeatures]] = []
-        self._current_ref: Optional[ReferenceFeatures] = None
+        # dynamic reference feature cache: list of (R 3x3, ReferenceSet)
+        self._cache: List[Tuple[np.ndarray, ReferenceSet]] = []
+        self._current_ref: Optional[ReferenceSet] = None
 
         self.pose_history: Dict[str, dict] = {}
         self.trace: List[dict] = []
@@ -172,13 +173,13 @@ class PixTrackTracker(PoseTracker):
         )
         return img, ref_camera, alpha
 
-    def _create_reference(self, pose: Pose) -> ReferenceFeatures:
+    def _create_reference(self, pose: Pose) -> ReferenceSet:
         img, ref_camera, alpha = self.get_reference_image(pose)
-        return self.refiner.extract_reference_features(
+        return self.refiner.extract_reference_set(
             self.reference_ids, pose, img, ref_camera, ref_alpha=alpha
         )
 
-    def get_dynamic_reference(self, pose: Pose) -> ReferenceFeatures:
+    def get_dynamic_reference(self, pose: Pose) -> ReferenceSet:
         """Cache lookup by rotation geodesic distance (r9:162-205)."""
         R_now = np.asarray(pose.R)
         if self._cache:
@@ -244,12 +245,15 @@ class PixTrackTracker(PoseTracker):
                 mask = self.get_mask(self.pose)
                 query_image = (query_image * mask[..., None]).astype(query_image.dtype)
 
-        ref = self.get_dynamic_reference(self.pose)
+        refset = self.get_dynamic_reference(self.pose)
 
+        # best-of-K: each db reference selects its own 3D points, observed
+        # in the one shared dynamic render; best refine by cost (r9:235-263)
         results: Dict[int, RefineResult] = {}
         for ref_id in self.reference_ids:
             res = self.refiner.refine(
-                query_image, self.camera, self.pose, ref, multiscale=multiscale
+                query_image, self.camera, self.pose, refset.for_ref(ref_id),
+                multiscale=multiscale,
             )
             results[ref_id] = res
 
@@ -262,7 +266,7 @@ class PixTrackTracker(PoseTracker):
                 break
             ref2 = self._create_reference(best.T_refined)
             nxt = self.refiner.refine(
-                query_image, self.camera, best.T_refined, ref2,
+                query_image, self.camera, best.T_refined, ref2.for_ref(best_id),
                 multiscale=self.config.steady_multiscale,
             )
             if not nxt.success:
@@ -303,6 +307,8 @@ class PixTrackTracker(PoseTracker):
             {
                 "frame": name,
                 "cost": best.cost,
+                "ref_costs": {int(k): float(v.cost) for k, v in results.items()},
+                "best_ref": int(best_id),
                 "num_iters": best.num_iters,
                 "num_valid": best.num_valid,
                 "cache_hit": self.cache_hit,

