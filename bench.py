@@ -33,6 +33,14 @@ sensitive to build-to-build rounding. Timing is honest for the axon
 tunnel: the result is host-copied once at the end; `block_until_ready`
 alone does NOT sync through the tunnel.
 
+The same invocation also measures CLOSED-LOOP tracking through the
+production ``PixTrackTracker`` class: frame 0 cold-starts through the
+stepwise path, every later frame is one dispatch of the tracker's fused
+steady-state program (tracking/fused.py) chained on the previous frame's
+device-resident ESTIMATE (not ground truth), with the adaptive cost gate
+and on-device relocalization live. Closed-loop FPS and pose-error evidence
+are reported in the same JSON line (``closed_loop_fps``) and on stderr.
+
 Prints ONE JSON line: tracking FPS vs the 30 FPS v5e target (BASELINE.json).
 """
 
@@ -204,16 +212,119 @@ def main():
     dt_s = (time.perf_counter() - t0) / n_frames
     fps = 1.0 / dt_s
 
-    print(
-        json.dumps(
-            {
-                "metric": "steady_state_tracking_fps_640x480",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / 30.0, 3),
-            }
+    record = {
+        "metric": "steady_state_tracking_fps_640x480",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+    }
+    try:
+        record["closed_loop_fps"] = round(closed_loop(field, camera), 2)
+    except Exception as e:  # never lose the open-loop number
+        print(f"[bench] closed-loop failed: {e!r}", file=sys.stderr)
+    print(json.dumps(record))
+
+
+def closed_loop(field, camera, rounds: int = 2) -> float:
+    """Closed-loop FPS through the production PixTrackTracker: estimates
+    chain on device through the tracker's fused steady-state program
+    (tracking/fused.py), cost gate + relocalization live (VERDICT r1 #2)."""
+    import jax.numpy as jnp
+
+    from pixtrack_tpu.align.lm import AlignConfig
+    from pixtrack_tpu.features import FeatureExtractor, HandcraftedExtractor
+    from pixtrack_tpu.geometry import Pose
+    from pixtrack_tpu.geometry.nerf_transform import NerfTransform
+    from pixtrack_tpu.nerf.testbed import Testbed
+    from pixtrack_tpu.tracking import PixTrackTracker, TrackerConfig
+    from pixtrack_tpu.tracking.fused import FusedSteadyStep
+    from pixtrack_tpu.tracking.render_bridge import render_nerf_view
+    from tests.synthetic_world import look_at_w2c, make_scene
+
+    testbed = Testbed()
+    testbed.set_baked_field(field)
+    testbed.render_aabb.min = [0.3] * 3
+    testbed.render_aabb.max = [0.7] * 3
+    testbed.n_coarse, testbed.n_fine = 48, 0
+
+    scene = make_scene(camera, n_refs=12, n_points=4200)
+    nerf2sfm = NerfTransform.identity()
+
+    # trajectory starts at the upright reference (ring ang=0) and orbits at
+    # the open-loop bench's inter-frame motion (0.02 rad/frame)
+    n_frames, dist = 20, 1.6
+    gt_poses = []
+    for i in range(n_frames + 1):
+        ang = 0.02 * i
+        el = 0.06 * np.sin(0.4 * i)
+        center = dist * np.array(
+            [np.cos(el) * np.sin(ang), np.sin(el), np.cos(el) * np.cos(ang)]
         )
+        gt_poses.append(look_at_w2c(center))
+
+    # production-representative query frames (uint8, black background)
+    frames = [
+        (f"frame_{i:04d}.png",
+         render_nerf_view(testbed, nerf2sfm, T, camera, spp=1))
+        for i, T in enumerate(gt_poses)
+    ]
+
+    extractor = FeatureExtractor(HandcraftedExtractor(), resize=1024)
+    tracker = PixTrackTracker(
+        scene, extractor, testbed, nerf2sfm,
+        TrackerConfig(reference_scale=0.5, cost_threshold_min=0.05,
+                      covis_threshold=10, refine_rounds=rounds),
+        align_cfg=AlignConfig(num_iters=150),
     )
+    tracker.camera = camera
+
+    # cold start through the stepwise path (sets the adaptive threshold)
+    tracker.cold_start = True
+    tracker.refine(frames[0])
+    thresh = jnp.float32(tracker.cost_threshold)
+    R0 = jnp.asarray(tracker.pose.R, jnp.float32)
+    t0_ = jnp.asarray(tracker.pose.t, jnp.float32)
+    ok0 = jnp.asarray(bool(tracker.success))
+
+    step = FusedSteadyStep(tracker, camera)
+    queries = [
+        jnp.asarray(np.asarray(img), jnp.float32) / 255.0
+        for _, img in frames[1:]
+    ]
+
+    # evidence pass (untimed): compile + closed-loop convergence vs GT
+    R, t, ok = R0, t0_, ok0
+    rot_errs, t_errs, oks = [], [], []
+    for k, q in enumerate(queries):
+        out = step(R, t, ok, thresh, q)
+        R, t, ok = out.R, out.t, out.ok
+        T_now = Pose.from_Rt(np.asarray(R), np.asarray(t))
+        T_gt = gt_poses[k + 1]
+        dR = np.rad2deg(np.arccos(np.clip(
+            (np.trace(np.asarray(T_now.R) @ np.asarray(T_gt.R).T) - 1) / 2,
+            -1, 1)))
+        rot_errs.append(float(dR))
+        t_errs.append(float(np.linalg.norm(np.asarray(T_now.t) - np.asarray(T_gt.t))))
+        oks.append(bool(np.asarray(out.ok)))
+    print(
+        f"[bench] closed-loop evidence (estimate-chained, production class): "
+        f"rot_err deg mean/max = {np.mean(rot_errs):.3f}/{np.max(rot_errs):.3f}, "
+        f"t_err mean/max = {np.mean(t_errs):.4f}/{np.max(t_errs):.4f}, "
+        f"success {sum(oks)}/{len(oks)}",
+        file=sys.stderr,
+    )
+
+    # timed pass: same chain, one host sync at the end
+    R, t, ok = R0, t0_, ok0
+    t0 = time.perf_counter()
+    for q in queries:
+        out = step(R, t, ok, thresh, q)
+        R, t, ok = out.R, out.t, out.ok
+    _ = float(np.asarray(out.cost))
+    dt_s = (time.perf_counter() - t0) / len(queries)
+    fps = 1.0 / dt_s
+    print(f"[bench] closed-loop FPS = {fps:.2f}", file=sys.stderr)
+    return fps
 
 
 if __name__ == "__main__":

@@ -71,6 +71,26 @@ class FeatureExtractor:
             return _round16(H * r), _round16(W * r), r
         return H, W, 1.0
 
+    def _traced_impl(self, img, out_h: int, out_w: int):
+        """Traced (jit-free) pyramid body — embeddable in larger programs."""
+        img = img.astype(jnp.float32)
+        if img.ndim == 2:
+            img = img[..., None] * jnp.ones((1, 1, 3), jnp.float32)
+        if (img.shape[0], img.shape[1]) != (out_h, out_w):
+            img = jax.image.resize(
+                img, (out_h, out_w, img.shape[-1]), method="linear"
+            )
+        if isinstance(self.model, UNetExtractor):
+            pred = self.model.apply(self.params, img[None])
+            feats = tuple(f[0] for f in pred["feature_maps"])
+            confs = tuple(c[0] for c in pred["confidences"])
+        else:
+            pyr = self.model(img)
+            feats, confs = pyr.levels, pyr.confidences
+        if self.normalize:
+            feats = tuple(normalize_features(f) for f in feats)
+        return feats, confs
+
     def _forward(self, image, out_h: int, out_w: int):
         """Jit-compiled per (input-shape, output-shape) bucket."""
         key = (image.shape, out_h, out_w)
@@ -78,26 +98,21 @@ class FeatureExtractor:
 
             @jax.jit
             def run(img):
-                img = img.astype(jnp.float32)
-                if img.ndim == 2:
-                    img = img[..., None] * jnp.ones((1, 1, 3), jnp.float32)
-                if (img.shape[0], img.shape[1]) != (out_h, out_w):
-                    img = jax.image.resize(
-                        img, (out_h, out_w, img.shape[-1]), method="linear"
-                    )
-                if isinstance(self.model, UNetExtractor):
-                    pred = self.model.apply(self.params, img[None])
-                    feats = tuple(f[0] for f in pred["feature_maps"])
-                    confs = tuple(c[0] for c in pred["confidences"])
-                else:
-                    pyr = self.model(img)
-                    feats, confs = pyr.levels, pyr.confidences
-                if self.normalize:
-                    feats = tuple(normalize_features(f) for f in feats)
-                return feats, confs
+                return self._traced_impl(img, out_h, out_w)
 
             self._jitted[key] = run
         return self._jitted[key](image)
+
+    def traced(self, image, image_scale: int = 1) -> FeaturePyramid:
+        """Traced pyramid extraction (no jit boundary), for callers that fuse
+        extraction into one larger device program (tracking/fused.py).
+        ``image`` must be a float array in [0, 1] with static (H, W, 3)."""
+        H, W = image.shape[:2]
+        out_h, out_w, _ = self._target_hw(int(H), int(W), image_scale)
+        feats, confs = self._traced_impl(image, out_h, out_w)
+        ry, rx = out_h / H, out_w / W
+        scales = tuple((rx / s, ry / s) for s in self.model.scales)
+        return FeaturePyramid(levels=feats, scales=scales, confidences=confs)
 
     # -- public --------------------------------------------------------------
     def __call__(self, image, image_scale: int = 1) -> FeaturePyramid:

@@ -102,6 +102,12 @@ class Testbed:
         if bake:
             self.bake()
 
+    def set_baked_field(self, baked) -> None:
+        """Install a prebuilt baked/distilled render field directly (e.g. a
+        nerf.distill.load_distilled artifact), bypassing the vertex field."""
+        self._baked = baked
+        self._render_cache.clear()
+
     def bake(self) -> None:
         """Repack the vertex hash grid into the cell-packed render format
         (one gather per level, ~100x render throughput on TPU — see
@@ -214,7 +220,7 @@ class Testbed:
         """Render (H, W, 4) float32. Depth mode returns depth in the RGB
         channels (NeRF-space units) with alpha, like the reference consumes
         (r9 get_mask thresholds channel 0; run_vis_on_poses.py:49-54)."""
-        if self.field is None:
+        if self.field is None and self._baked is None:
             raise RuntimeError("no snapshot loaded")
         run = self._renderer(width, height, spp)
         bg = jnp.asarray(self.background_color[:3], jnp.float32)

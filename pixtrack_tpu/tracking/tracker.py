@@ -321,6 +321,20 @@ class PixTrackTracker(PoseTracker):
             )
         return success
 
+    # ----------------------------------------------------------- fused loop ----
+    def run_fused(self, frames, camera: Optional[Camera] = None):
+        """Closed-loop tracking with ONE device dispatch per steady frame.
+
+        Same steady-state semantics as run()/refine() but the whole per-frame
+        hot path (relocalize-on-failure, mask, reference render, observation,
+        query pyramid, LM, success gate) is a single jitted program and the
+        pose chain stays on device (see tracking/fused.py for the exact
+        semantics and documented deltas). Frame 0 cold-starts through the
+        stepwise path. Fills pose_history/trace like run()."""
+        from pixtrack_tpu.tracking.fused import run_fused
+
+        return run_fused(self, frames, camera=camera)
+
     # ------------------------------------------------------------- outputs ----
     def save_poses(self) -> None:
         if self.eval_path is None:

@@ -156,6 +156,73 @@ class TestTracker:
         assert {"frame", "cost", "num_iters"} <= set(trace[0])
 
 
+class TestFusedSteadyLoop:
+    def test_fused_tracks_sequence(self, world):
+        """The one-dispatch-per-frame fused loop (tracking/fused.py) must
+        track the same sequence the stepwise path does, closed-loop (each
+        frame initialized from the previous frame's device-resident
+        estimate)."""
+        scene, testbed, nerf2sfm, camera, gt, frames = world
+        extractor = FeatureExtractor(HandcraftedExtractor(), resize=None)
+        cfg = TrackerConfig(
+            reference_scale=1.0, cold_multiscale=(1,), steady_multiscale=(1,),
+            covis_threshold=10, cost_threshold_min=0.05, refine_rounds=2,
+        )
+        tracker = PixTrackTracker(
+            scene, extractor, testbed, nerf2sfm, cfg,
+            align_cfg=AlignConfig(num_iters=60, robust_c=1.0),
+        )
+        outs = tracker.run_fused(frames, camera=camera)
+        assert len(outs) == len(frames) - 1
+        errs = []
+        for i, (name, _) in enumerate(frames):
+            rec = tracker.pose_history[name]
+            T = Pose.from_4x4(jnp.asarray(rec["T_refined"], jnp.float32))
+            errs.append(pose_error(T, gt[i]))
+        dRs = [e[0] for e in errs[1:]]
+        dts = [e[1] for e in errs[1:]]
+        assert np.median(dRs) < 3.0, f"rotation errors {dRs}"
+        assert np.median(dts) < 0.05, f"translation errors {dts}"
+        # all steady frames succeeded and none relocalized
+        assert all(bool(np.asarray(o.ok)) for o in outs)
+        assert not any(bool(np.asarray(o.relocalized)) for o in outs)
+        assert all(rec.get("fused") for rec in tracker.trace[1:])
+
+    def test_fused_relocalizes_after_garbage(self, world):
+        """A garbage frame must fail the cost gate on device and the next
+        frame must re-enter from the upright pose (relocalized flag).
+
+        The garbage frame is NOISE, not black: a black frame zeroes the
+        query confidences and the weighted mean cost collapses BELOW the
+        adaptive gate (measured 0.04 < 0.05 on both the stepwise and fused
+        paths) — confidence weighting hides, rather than flags, a signal-free
+        frame. Noise keeps confidences alive and the cost high."""
+        scene, testbed, nerf2sfm, camera, gt, frames = world
+        extractor = FeatureExtractor(HandcraftedExtractor(), resize=None)
+        cfg = TrackerConfig(
+            reference_scale=1.0, cold_multiscale=(1,), steady_multiscale=(1,),
+            covis_threshold=10, cost_threshold_min=0.05, refine_rounds=2,
+        )
+        tracker = PixTrackTracker(
+            scene, extractor, testbed, nerf2sfm, cfg,
+            align_cfg=AlignConfig(num_iters=40, robust_c=1.0),
+        )
+        rng = np.random.default_rng(3)
+        garbage = ("garbage.png",
+                   rng.integers(0, 256, (128, 128, 3)).astype(np.uint8))
+        seq = [frames[0], frames[1], garbage, frames[2]]
+        outs = tracker.run_fused(seq, camera=camera)
+        oks = [bool(np.asarray(o.ok)) for o in outs]
+        relocs = [bool(np.asarray(o.relocalized)) for o in outs]
+        assert oks == [True, False, True]
+        assert relocs == [False, False, True]
+        rec = tracker.pose_history["frame_0002.png"]
+        T = Pose.from_4x4(jnp.asarray(rec["T_refined"], jnp.float32))
+        dR, dt = pose_error(T, gt[2])
+        assert dR < 5.0 and dt < 0.1
+        assert tracker.relocalization_count >= 1
+
+
 class TestBestOfK:
     def test_per_reference_features_differ_and_better_wins(self, world):
         """K=2 references must yield genuinely DIFFERENT refines (per-ref
