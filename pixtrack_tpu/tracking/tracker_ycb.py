@@ -70,10 +70,18 @@ class YCBTracker(PixTrackTracker):
         return self.reference_ids
 
     def relocalize(self, query) -> None:
-        # snap to the dataset GT pose (the reference's eval protocol)
-        _, _, gt_pose, camera = query
-        self.camera = camera
-        self.pose = gt_pose
+        # snap to the dataset GT pose (the reference's eval protocol).
+        # ``query`` is the 4-tuple from the eval loop, OR the 2-tuple the
+        # inherited cold-start path passes (PixTrackTracker.refine strips GT
+        # before relocalizing) — in that case the GT stashed by refine() is
+        # the current frame's.
+        if len(query) == 4:
+            _, _, gt_pose, camera = query
+            self.camera = camera
+            self.pose = gt_pose
+        else:
+            assert self._gt_pose is not None, "cold start before refine()"
+            self.pose = self._gt_pose
         self.relocalization_count += 1
 
     def refine(self, query) -> bool:
