@@ -219,7 +219,11 @@ def main():
         "vs_baseline": round(fps / 30.0, 3),
     }
     try:
-        record["closed_loop_fps"] = round(closed_loop(field, camera), 2)
+        # rounds=1 is the r9-parity production default (refine once per
+        # frame at the previous estimate). Measured r2 on one v5e chip:
+        # rounds=1 -> 28.2 FPS, 0.98 deg mean, 20/20 success;
+        # rounds=2 -> 14.2 FPS, 0.80 deg mean, 20/20 success.
+        record["closed_loop_fps"] = round(closed_loop(field, camera, rounds=1), 2)
     except Exception as e:  # never lose the open-loop number
         print(f"[bench] closed-loop failed: {e!r}", file=sys.stderr)
     print(json.dumps(record))

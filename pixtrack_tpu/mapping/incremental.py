@@ -604,6 +604,8 @@ def incremental_sfm(
     verbose: bool = False,
     match_kw: Optional[dict] = None,
     strategy: str = "chain",
+    featuremetric_ka: bool = False,
+    ka_extractor=None,
     **detect_kw,
 ) -> SceneModel:
     """Full unposed reconstruction -> SceneModel (arbitrary global scale,
@@ -680,6 +682,26 @@ def incremental_sfm(
             else:
                 m0[k0[~inl]] = -1
             matches[(i0, i1)] = m0
+
+    # 1c. featuremetric keypoint adjustment (the pixsfm KA role, reference
+    # scripts/run_reconstruction.py:52-61): refine keypoint locations so the
+    # verified tracks agree in dense feature space BEFORE any geometry is
+    # estimated — subpixel corrections feed every downstream pose/point.
+    if featuremetric_ka:
+        from pixtrack_tpu.features import FeatureExtractor, HandcraftedExtractor
+        from pixtrack_tpu.mapping.featuremetric import keypoint_adjustment
+        from pixtrack_tpu.mapping.triangulate import build_tracks as _bt
+
+        ka_tracks = _bt(kps, matches)
+        if ka_tracks:
+            if verbose:
+                print(f"featuremetric KA over {len(ka_tracks)} tracks")
+            extractor = ka_extractor or FeatureExtractor(
+                HandcraftedExtractor(), resize=1024
+            )
+            kps = keypoint_adjustment(images, kps, ka_tracks, extractor)
+            kp_ic = {iid: kps[iid] - 0.5 for iid in kps}
+            kp_n = {iid: _normalize(camera, kp_ic[iid]) for iid in kps}
 
     # 2. init pair + relative pose
     pair_counts = {p: int((m >= 0).sum()) for p, m in matches.items()}

@@ -122,6 +122,7 @@ def look_at_rig_for_mesh(
 def render_mesh(
     mesh: dict, T_w2c: Pose, camera: Camera, background=(1.0, 1.0, 1.0),
     ambient: float = 0.55, directional: float = 0.45,
+    return_depth: bool = False,
 ) -> np.ndarray:
     """Z-buffered rasterization with barycentric texture / vertex shading.
 
@@ -202,7 +203,94 @@ def render_mesh(
         region_img[closer] = color[closer]
         region_z[closer] = zpix[closer]
 
-    return np.clip(img * 255.0, 0, 255).astype(np.uint8)
+    out = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+    if return_depth:
+        depth = np.where(np.isfinite(zbuf), zbuf, 0.0).astype(np.float32)
+        return out, depth
+    return out
+
+
+class MeshTestbed:
+    """Testbed-surface renderer backed by the mesh rasterizer.
+
+    Drop-in for ``nerf.testbed.Testbed`` wherever the tracker/viz render
+    through ``render_nerf_view`` (Shade and Depth modes, exact-intrinsics
+    override, alpha from the z-buffer). Purpose: EXACT reference renders of
+    a mesh object so tracker robustness can be measured with zero
+    NeRF-reconstruction error in the loop (tests/test_robustness.py), and
+    mesh-world pipelines can run without training an NGP first. Assumes the
+    identity NerfTransform (pose_sfm_to_nerf with default parameters), which
+    it inverts to recover the SfM-space w2c pose from the NeRF-space camera
+    matrix it is handed."""
+
+    def __init__(self, mesh: dict):
+        from pixtrack_tpu.nerf.testbed import RenderMode, _AABB
+        from types import SimpleNamespace
+
+        self.mesh = mesh
+        self.render_mode = RenderMode.Shade
+        self.render_aabb = _AABB()
+        self.background_color = [1.0, 1.0, 1.0, 0.0]
+        self.snap_to_pixel_centers = True
+        self.fov_axis = 0
+        self.exposure = 0.0
+        self.shall_train = False
+        self.nerf = SimpleNamespace(
+            sharpen=0.0, render_with_camera_distortion=False,
+            rendering_min_transmittance=1e-7,
+        )
+        self._fov_deg = 50.0
+        self.override_intrinsics = None
+        self._camera = np.eye(4)
+        self.n_coarse = 0  # accepted for Testbed parity; unused
+        self.n_fine = 0
+
+    @property
+    def fov(self) -> float:
+        return self._fov_deg
+
+    @fov.setter
+    def fov(self, deg: float) -> None:
+        self._fov_deg = float(deg)
+
+    def set_nerf_camera_matrix(self, m) -> None:
+        cam = np.eye(4)
+        cam[:3, :4] = np.asarray(m, np.float64)[:3, :4]
+        self._camera = cam
+
+    def render(self, width: int, height: int, spp: int = 1,
+               linear: bool = True, seed: int = 0) -> np.ndarray:
+        from pixtrack_tpu.geometry.nerf_transform import NerfTransform
+        from pixtrack_tpu.nerf.testbed import RenderMode
+
+        n2s = NerfTransform.identity()
+        c2w_sfm = n2s.pose_nerf_to_sfm(self._camera)
+        R = c2w_sfm[:3, :3].T
+        t = -R @ c2w_sfm[:3, 3]
+        T_w2c = Pose.from_Rt(R.astype(np.float32), t.astype(np.float32))
+
+        if self.override_intrinsics is not None:
+            fx, fy, cx, cy = self.override_intrinsics
+        else:
+            half = np.deg2rad(self._fov_deg) / 2.0
+            fx = fy = (width / 2.0) / np.tan(half)
+            cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
+        camera = Camera.pinhole(fx, fy, cx, cy, width, height)
+
+        img, depth = render_mesh(
+            self.mesh, T_w2c, camera,
+            background=tuple(self.background_color[:3]), return_depth=True,
+        )
+        alpha = (depth > 0).astype(np.float32)
+        if self.render_mode == RenderMode.Depth:
+            return np.concatenate(
+                [np.repeat(depth[..., None], 3, axis=-1), alpha[..., None]],
+                axis=-1,
+            ).astype(np.float32)
+        rgba = np.concatenate(
+            [img.astype(np.float32) / 255.0, alpha[..., None]], axis=-1
+        )
+        return rgba
 
 
 def create_scene_from_mesh(

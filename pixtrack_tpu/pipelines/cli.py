@@ -232,8 +232,11 @@ def _cmd_reconstruct(args):
         1, "SIMPLE_RADIAL", w, h,
         np.array([float(cam.f[0]), w / 2.0, h / 2.0, 0.0]),
     )
+    # featuremetric KA on by default: the reference pipeline always runs
+    # PixSfM's keypoint adjustment (run_reconstruction.py:52-61)
     scene = incremental_sfm(images, cam_rec, names=names,
-                            verbose=args.verbose)
+                            verbose=args.verbose,
+                            featuremetric_ka=not args.no_featuremetric)
     paths["ref_sfm"].mkdir(parents=True, exist_ok=True)
     scene.save(paths["ref_sfm"])
     print(f"reconstructed {len(scene.images)}/{len(images)} images, "
@@ -352,6 +355,8 @@ def main(argv=None):
     s.add_argument("--object_path", required=True)
     s.add_argument("--images", help="source image folder (copied to mapping/)")
     s.add_argument("--verbose", action="store_true")
+    s.add_argument("--no-featuremetric", action="store_true",
+                   help="skip featuremetric keypoint adjustment (pixsfm KA)")
     s.set_defaults(fn=_cmd_reconstruct)
 
     s = sub.add_parser("sfm-from-obj",
