@@ -298,7 +298,7 @@ def closed_loop(field, camera, rounds: int = 2) -> float:
 
     # evidence pass (untimed): compile + closed-loop convergence vs GT
     R, t, ok = R0, t0_, ok0
-    rot_errs, t_errs, oks = [], [], []
+    rot_errs, t_errs, oks, iters = [], [], [], []
     for k, q in enumerate(queries):
         out = step(R, t, ok, thresh, q)
         R, t, ok = out.R, out.t, out.ok
@@ -310,11 +310,13 @@ def closed_loop(field, camera, rounds: int = 2) -> float:
         rot_errs.append(float(dR))
         t_errs.append(float(np.linalg.norm(np.asarray(T_now.t) - np.asarray(T_gt.t))))
         oks.append(bool(np.asarray(out.ok)))
+        iters.append(int(np.asarray(out.num_iters)))
     print(
         f"[bench] closed-loop evidence (estimate-chained, production class): "
         f"rot_err deg mean/max = {np.mean(rot_errs):.3f}/{np.max(rot_errs):.3f}, "
         f"t_err mean/max = {np.mean(t_errs):.4f}/{np.max(t_errs):.4f}, "
-        f"success {sum(oks)}/{len(oks)}",
+        f"success {sum(oks)}/{len(oks)}, "
+        f"LM iters/frame mean = {np.mean(iters):.1f}",
         file=sys.stderr,
     )
 

@@ -141,11 +141,14 @@ def render_plane(
     return img.reshape(H, W, 3)
 
 
-def random_texture(key, size: int, n_modes: int = 48) -> jax.Array:
+def random_texture(key, size: int, n_modes: int = 48,
+                   freq_scale: float = 1.0) -> jax.Array:
     """Random RGB texture mixing low and high spatial frequencies (low modes
-    set the wide basin, high modes the fine-alignment signal)."""
+    set the wide basin, high modes the fine-alignment signal). ``freq_scale``
+    (traced OK) shifts the whole spectrum down — small values give smooth,
+    nearly featureless blob-like appearance."""
     kf, ka, kp = jax.random.split(key, 3)
-    freqs = jnp.exp(
+    freqs = freq_scale * jnp.exp(
         jax.random.uniform(kf, (3, n_modes, 2), minval=np.log(0.5), maxval=np.log(40.0))
     ) * jnp.where(jax.random.uniform(kf, (3, n_modes, 2)) < 0.5, -1.0, 1.0)
     amps = jax.random.normal(ka, (3, n_modes)) / np.sqrt(n_modes)
@@ -303,11 +306,26 @@ def make_basin_loss_fn(model: UNetExtractor, cfg: BasinTrainConfig):
         )
 
     def one_scene(params, key):
-        (k_tex, k_bg, k_pose, k_roll, k_pts, k_ref, k_nui, k_pert) = (
-            jax.random.split(key, 8)
-        )
-        texture = random_texture(k_tex, cfg.tex_size)
+        (k_tex, k_bg, k_pose, k_roll, k_pts, k_ref, k_nui, k_pert,
+         k_smooth, k_qbg, k_rbg) = jax.random.split(key, 11)
+        # texture smoothness spans sharp checker-like to near-featureless
+        # blob-like surfaces (the r2 blob-world failure was a distribution
+        # gap: the UNet had never seen smooth low-frequency objects)
+        freq_scale = jnp.exp(jax.random.uniform(
+            k_smooth, (), minval=np.log(0.125), maxval=0.0
+        ))
+        texture = random_texture(k_tex, cfg.tex_size, freq_scale=freq_scale)
         clutter = random_texture(k_bg, size)
+
+        # background modes, matching every production render convention:
+        # query in {clutter, black (splat-masked), white}; reference in
+        # {black (render_nerf_view), white (bench render path)}
+        black = jnp.zeros((size, size, 3))
+        white = jnp.ones((size, size, 3))
+        qsel = jax.random.randint(k_qbg, (), 0, 4)  # clutter x2, black, white
+        qbg = jnp.stack([clutter, clutter, black, white])[qsel]
+        rsel = jax.random.randint(k_rbg, (), 0, 2)
+        rbg = jnp.stack([black, white])[rsel]
 
         # GT pose: +Z-hemisphere look-at with roll
         kd, kth, kph = jax.random.split(k_pose, 3)
@@ -326,9 +344,9 @@ def make_basin_loss_fn(model: UNetExtractor, cfg: BasinTrainConfig):
         mag = jnp.deg2rad(cfg.ref_rot_deg)
         T_ref = T_gt.retract(dr * mag * jnp.asarray([1, 1, 1, 0.3, 0.3, 0.3]))
 
-        # renders: clean/white-bg reference, nuisanced/cluttered query
-        img_ref = render_plane(texture, None, T_ref, camera, (size, size))
-        img_qry = render_plane(texture, clutter, T_gt, camera, (size, size))
+        # renders: clean reference, nuisanced query
+        img_ref = render_plane(texture, rbg, T_ref, camera, (size, size))
+        img_qry = render_plane(texture, qbg, T_gt, camera, (size, size))
         img_qry = apply_nuisances(k_nui, img_qry, clutter, cfg)
 
         # 3D points on the plane

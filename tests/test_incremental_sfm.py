@@ -151,22 +151,43 @@ def _check_rig_reconstruction(
 
 
 class TestIncrementalSfM:
-    def test_reconstructs_textured_object_rig_fast(self, tmp_path):
-        """16 views at 192 px (22.5 deg baselines): the default regression
-        gate for the mapper — a catastrophic-failure smoke gate (~7 min on
-        this 1-core box; measured quality at this scale: 15.9 deg global
-        median dev, 43 points, 1.42 px reproj — the handcrafted detector
-        needs the 256 px rig for real accuracy, which the slow test pins)."""
-        views, gt_poses, cam_rec = _render_cube_rig(tmp_path, 16, 192)
+    def test_reconstructs_partial_arc_fast(self, tmp_path):
+        """10 views over a 153 deg arc at 192 px (17 deg baselines): the
+        default mapper regression gate (~4-5 min on this 1-core box).
+        Measured r2: 10/10 registered, 302 points, pairwise median 1.7 deg,
+        global median 2.9 deg, 0.53 px reproj. A full 360 ring at 192 px is
+        NOT reliable with the handcrafted detector (22.5 deg baselines
+        mis-assemble; measured 100 deg+ pairwise breaks) — ring + loop
+        closure quality is pinned by the slow 24-view 256 px test."""
+        from pixtrack_tpu.mapping.mesh_render import load_obj, render_mesh
+        from test_mesh_render import make_cube_obj
+
+        mesh = load_obj(make_cube_obj(tmp_path))
+        res = 192
+        camera = Camera.pinhole(res * 1.1, res * 1.1, (res - 1) / 2,
+                                (res - 1) / 2, res, res)
+        views, gt_poses = {}, {}
+        for i in range(10):
+            ang = np.deg2rad(17.0) * i
+            center = 0.9 * np.array(
+                [np.sin(ang), 0.4 + 0.1 * np.sin(2 * ang), np.cos(ang)]
+            )
+            T = look_at_w2c(center)
+            views[i + 1] = render_mesh(mesh, T, camera)
+            gt_poses[i + 1] = T
+        cam_rec = colmap_io.CameraRecord(
+            1, "PINHOLE", res, res,
+            np.array([res * 1.1, res * 1.1, res / 2.0, res / 2.0]),
+        )
         rec = incremental_sfm(
             views, cam_rec, max_keypoints=768, nms_radius=1, verbose=True,
             match_kw=dict(min_score=0.5, ratio=0.98),
         )
         _check_rig_reconstruction(
-            rec, gt_poses, 16,
-            min_registered=12, min_points=30,
-            pairwise_gate_deg=15.0, global_gate_deg=25.0,
-            center_gate_frac=0.35, reproj_gate_px=1.8,
+            rec, gt_poses, 10,
+            min_registered=9, min_points=150,
+            pairwise_gate_deg=5.0, global_gate_deg=8.0,
+            center_gate_frac=0.25, reproj_gate_px=1.0,
         )
 
     def test_reconstruct_with_featuremetric_ka(self, tmp_path):
