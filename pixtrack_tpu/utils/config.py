@@ -83,7 +83,7 @@ class RunConfig:
     dR_stop_criteria: float = 5e-4
     # extractor
     resize: int = 1024
-    extractor: str = "handcrafted"  # or "unet"
+    extractor: str = "auto"  # auto | handcrafted | unet
     unet_weights: Optional[str] = None
     # nerf training
     nerf_steps: int = 10000
@@ -122,6 +122,12 @@ class RunConfig:
     def make_extractor(self):
         from pixtrack_tpu.features import FeatureExtractor, HandcraftedExtractor
 
+        if self.extractor == "auto":
+            # basin-trained UNet when its checkpoint is present (the pixloc
+            # checkpoint role), else handcrafted — features.default_extractor
+            from pixtrack_tpu.features import default_extractor
+
+            return default_extractor(resize=self.resize)
         if self.extractor == "unet":
             import jax
 
