@@ -298,9 +298,11 @@ def closed_loop(field, camera, rounds: int = 2) -> float:
 
     # evidence pass (untimed): compile + closed-loop convergence vs GT
     R, t, ok = R0, t0_, ok0
+    R2, t2, vel_ok = R0, t0_, jnp.asarray(False)
     rot_errs, t_errs, oks, iters = [], [], [], []
     for k, q in enumerate(queries):
-        out = step(R, t, ok, thresh, q)
+        out = step(R, t, ok, thresh, q, R_prev=R2, t_prev=t2, vel_ok=vel_ok)
+        R2, t2, vel_ok = R, t, ok
         R, t, ok = out.R, out.t, out.ok
         T_now = Pose.from_Rt(np.asarray(R), np.asarray(t))
         T_gt = gt_poses[k + 1]
@@ -322,9 +324,11 @@ def closed_loop(field, camera, rounds: int = 2) -> float:
 
     # timed pass: same chain, one host sync at the end
     R, t, ok = R0, t0_, ok0
+    R2, t2, vel_ok = R0, t0_, jnp.asarray(False)
     t0 = time.perf_counter()
     for q in queries:
-        out = step(R, t, ok, thresh, q)
+        out = step(R, t, ok, thresh, q, R_prev=R2, t_prev=t2, vel_ok=vel_ok)
+        R2, t2, vel_ok = R, t, ok
         R, t, ok = out.R, out.t, out.ok
     _ = float(np.asarray(out.cost))
     dt_s = (time.perf_counter() - t0) / len(queries)

@@ -188,14 +188,31 @@ class FusedSteadyStep:
         )
 
     # ------------------------------------------------------------ program ----
-    def _frame(self, field_arg, R_prev, t_prev, ok_prev, thresh, query_image):
+    def _frame(
+        self, field_arg, R_prev, t_prev, R_prev2, t_prev2, vel_ok,
+        ok_prev, thresh, query_image,
+    ):
         # the render field enters as an argument so its tables aren't baked
         # into the executable as constants (testbed._renderer does the same)
 
         # 1. relocalize on previous failure (base loop + r9:95-106)
         relocalized = ~ok_prev
-        R0 = jnp.where(relocalized, self.R_up, R_prev)
-        t0 = jnp.where(relocalized, self.t_up, t_prev)
+        # constant-velocity init (documented delta from r9, which starts at
+        # the previous pose): T_init = (T_{k-1} T_{k-2}^{-1}) T_{k-1}. On a
+        # smooth trajectory this cancels the inter-frame motion, so the LM
+        # early-stops in far fewer op-latency-bound while_loop iterations
+        # (the dominant closed-loop cost). Gated off unless both previous
+        # frames succeeded; relocalization resets it.
+        use_vel = vel_ok & ok_prev & jnp.asarray(
+            bool(self.tracker.config.motion_model)
+        )
+        T1 = Pose.from_Rt(R_prev, t_prev)
+        D = T1 @ Pose.from_Rt(R_prev2, t_prev2).inv()
+        Tv = D @ T1
+        R_init = jnp.where(use_vel, Tv.R, R_prev)
+        t_init = jnp.where(use_vel, Tv.t, t_prev)
+        R0 = jnp.where(relocalized, self.R_up, R_init)
+        t0 = jnp.where(relocalized, self.t_up, t_init)
         T = Pose.from_Rt(R0, t0)
 
         # 2. object mask while tracking is good (r9:222-225)
@@ -256,8 +273,20 @@ class FusedSteadyStep:
         )
 
     # -------------------------------------------------------------- public ----
-    def __call__(self, R, t, ok, thresh, query_image) -> FusedFrameOut:
-        return self._jit(self.field_arg, R, t, ok, thresh, query_image)
+    def __call__(
+        self, R, t, ok, thresh, query_image, R_prev=None, t_prev=None,
+        vel_ok=None,
+    ) -> FusedFrameOut:
+        """One fused frame. (R, t, ok) is the previous frame's state;
+        (R_prev, t_prev, vel_ok) is the frame before that for the
+        constant-velocity init (omit to disable extrapolation)."""
+        if R_prev is None:
+            R_prev, t_prev = R, t
+            vel_ok = jnp.asarray(False)
+        return self._jit(
+            self.field_arg, R, t, R_prev, t_prev, vel_ok, ok, thresh,
+            query_image,
+        )
 
 
 def run_fused(
@@ -301,8 +330,10 @@ def run_fused(
         (name, jnp.asarray(np.asarray(img), jnp.float32) / (255.0 if np.asarray(img).dtype == np.uint8 else 1.0))
         for name, img in frames[1:]
     ]
+    R2, t2, vel_ok = R, t, jnp.asarray(False)
     for name, q in queries:
-        out = step(R, t, ok, thresh, q)
+        out = step(R, t, ok, thresh, q, R_prev=R2, t_prev=t2, vel_ok=vel_ok)
+        R2, t2, vel_ok = R, t, ok
         R, t, ok = out.R, out.t, out.ok
         outs.append(out)
 

@@ -82,6 +82,16 @@ class TrackerConfig:
     # contract the view-dependent feature bias toward the true pose (~0.75x
     # per round measured on the synthetic world) at one extra render each.
     refine_rounds: int = 1
+    # Constant-velocity pose extrapolation in the fused steady-state path
+    # (tracking/fused.py): initialize frame k at (T_{k-1} T_{k-2}^{-1}) T_{k-1}
+    # instead of T_{k-1} (r9 behavior); auto-disabled around failures/
+    # relocalizations. Default OFF: measured on the bench orbit (v5e r2) it
+    # does NOT raise FPS (LM iters/frame 63.7 vs 58.8 — the while_loop was
+    # not the closed-loop bottleneck) and the doubled estimate noise in the
+    # extrapolation (init err = motion + 2e_k - e_{k-1}) cost one frame
+    # (19/20 success, 47 deg excursion). Useful only for high inter-frame
+    # motion where init error dominates the basin, so kept as an option.
+    motion_model: bool = False
 
 
 class PixTrackTracker(PoseTracker):
