@@ -46,6 +46,8 @@ def rays_from_camera(
     width: int,
     height: int,
     snap_to_pixel_centers: bool = True,
+    x0=0.0,
+    y0=0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-pixel rays in NeRF space from an OpenGL-convention c2w matrix.
 
@@ -55,12 +57,16 @@ def rays_from_camera(
     Camera.project agree to the pixel. ``snap_to_pixel_centers`` is accepted
     for pyngp surface parity; sampling is always at pixel centers here.
 
+    ``(x0, y0)`` offset the pixel grid (may be traced scalars): rays cover
+    the window ``[x0, x0+width) x [y0, y0+height)`` of the full image — the
+    seam for statically-shaped, dynamically-positioned crop renders.
+
     Returns (origins (H*W, 3), dirs (H*W, 3) unit) in NeRF/json world space.
     """
     del snap_to_pixel_centers
     ys, xs = jnp.meshgrid(
-        jnp.arange(height, dtype=jnp.float32),
-        jnp.arange(width, dtype=jnp.float32),
+        jnp.arange(height, dtype=jnp.float32) + y0,
+        jnp.arange(width, dtype=jnp.float32) + x0,
         indexing="ij",
     )
     # OpenGL camera: x right, y up, z backward
@@ -213,8 +219,20 @@ def render_rays(
         )
         w_c = alpha_c * trans_c
         ts_f = _sample_importance(k2, ts, w_c, t_near, t_far, cfg.n_fine)
-        ts_all = jnp.sort(jnp.concatenate([ts, ts_f], axis=-1), axis=-1)
-        sigma, rgb = eval_field(ts_all)
+        # the field is deterministic, so the coarse samples' (sigma, rgb)
+        # are reused rather than re-evaluated (instant-ngp pays 2C+F field
+        # evals here; this pays C+F). The multi-operand lax.sort co-sorts
+        # values with their ts as one comparator network — no gathers.
+        sigma_f, rgb_f = eval_field(ts_f)
+        ts_cat = jnp.concatenate([ts, ts_f], axis=-1)
+        sg_cat = jnp.concatenate([sigma_c, sigma_f], axis=-1)
+        rb_cat = jnp.concatenate([rgb_c, rgb_f], axis=-1)  # (3, R, S)
+        ts_all, sigma, r0, r1, r2 = jax.lax.sort(
+            (ts_cat, sg_cat, rb_cat[0], rb_cat[1], rb_cat[2]),
+            dimension=-1,
+            num_keys=1,
+        )
+        rgb = jnp.stack([r0, r1, r2])
     else:
         ts_all = ts
         sigma, rgb = eval_field(ts_all)

@@ -137,6 +137,34 @@ class FusedSteadyStep:
         self.aabb = jnp.asarray(
             [tb.render_aabb.min, tb.render_aabb.max], jnp.float32
         )
+        # --- crop window for the reference render (static size, dynamic
+        # position). Rays outside the object silhouette composite to
+        # alpha ~ 0 and are then thresholded to black (render_bridge.py:58-61)
+        # — rendering them is pure waste, and on TPU the render is the
+        # dominant closed-loop cost. The SfM cloud's projection at each DB
+        # reference pose sizes a static window that covers the silhouette
+        # with margin; per frame the window is centered on the cloud's
+        # projection at the RENDER pose, so it tracks the rendered content
+        # by construction even when the pose estimate is wrong. Pixels the
+        # crop skips are exactly those the full render would zero.
+        self._crop = None
+        if getattr(cfg, "ref_crop", True):
+            ext_w = ext_h = 0.0
+            xyz_j = jnp.asarray(scene.xyz.astype(np.float32))
+            for i in ids:
+                Tw = scene.pose_w2c(int(i))
+                p2d, vis = self.ref_camera.world2image(Tw, xyz_j)
+                p2d, vis = np.asarray(p2d), np.asarray(vis)
+                if vis.sum() < 3:
+                    continue
+                ext_w = max(ext_w, float(np.ptp(p2d[vis, 0])))
+                ext_h = max(ext_h, float(np.ptp(p2d[vis, 1])))
+            cw = int(-((1.30 * ext_w + 32) // -16) * 16)
+            ch = int(-((1.30 * ext_h + 32) // -16) * 16)
+            if 0 < ext_w and cw < self.rW and ch < self.rH \
+                    and cw * ch < 0.8 * self.rW * self.rH:
+                self._crop = (ch, cw)
+
         n2s = tracker.nerf2sfm
         from pixtrack_tpu.geometry.nerf_transform import C_CAM, P_W
 
@@ -167,11 +195,37 @@ class FusedSteadyStep:
         )
 
     def _render_ref(self, field_arg, T: Pose):
-        """White-background reference render + alpha at pose estimate T."""
+        """White-background reference render + alpha at pose estimate T.
+
+        With a crop window configured (``self._crop``), only the window's
+        rays are rendered and the result is pasted into a zero canvas —
+        identical to the full render wherever the window covers the
+        silhouette, because outside the silhouette the full render
+        thresholds to black anyway (render_bridge.py:58-61).
+        """
         c2w = self._c2w_nerf(T)
+        if self._crop is None:
+            ch, cw = self.rH, self.rW
+            x0f = y0f = 0.0
+        else:
+            ch, cw = self._crop
+            p2d, vis = self.ref_camera.world2image(T, self.p3d_all)
+            any_vis = jnp.any(vis)
+            big = jnp.float32(1e9)
+            px = jnp.where(vis, p2d[:, 0], big)
+            py = jnp.where(vis, p2d[:, 1], big)
+            cx = 0.5 * (jnp.min(px, initial=big) + jnp.max(
+                jnp.where(vis, p2d[:, 0], -big), initial=-big))
+            cy = 0.5 * (jnp.min(py, initial=big) + jnp.max(
+                jnp.where(vis, p2d[:, 1], -big), initial=-big))
+            cx = jnp.where(any_vis, cx, 0.5 * self.rW)
+            cy = jnp.where(any_vis, cy, 0.5 * self.rH)
+            x0 = jnp.clip(jnp.round(cx - 0.5 * cw), 0, self.rW - cw)
+            y0 = jnp.clip(jnp.round(cy - 0.5 * ch), 0, self.rH - ch)
+            x0f, y0f = x0.astype(jnp.float32), y0.astype(jnp.float32)
         o, d = rays_from_camera(
             c2w, self._ref_fx, self._ref_fy, self._ref_cx, self._ref_cy,
-            self.rW, self.rH,
+            cw, ch, x0=x0f, y0=y0f,
         )
         fld = field_arg if self._field_is_baked else self._static_field
         prm = None if self._field_is_baked else field_arg
@@ -182,9 +236,17 @@ class FusedSteadyStep:
         alpha = out["alpha"]
         rgb = out["rgb"] + (1.0 - alpha[:, None])
         rgb = jnp.where(alpha[:, None] > 1e-2, rgb, 0.0)
+        rgb = rgb.reshape(ch, cw, 3)
+        alpha = alpha.reshape(ch, cw)
+        if self._crop is None:
+            return rgb, alpha
+        zero3 = jnp.zeros((self.rH, self.rW, 3), rgb.dtype)
+        zero1 = jnp.zeros((self.rH, self.rW), alpha.dtype)
+        i0 = y0.astype(jnp.int32)
+        j0 = x0.astype(jnp.int32)
         return (
-            rgb.reshape(self.rH, self.rW, 3),
-            alpha.reshape(self.rH, self.rW),
+            jax.lax.dynamic_update_slice(zero3, rgb, (i0, j0, jnp.int32(0))),
+            jax.lax.dynamic_update_slice(zero1, alpha, (i0, j0)),
         )
 
     # ------------------------------------------------------------ program ----

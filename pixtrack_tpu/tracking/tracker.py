@@ -92,6 +92,11 @@ class TrackerConfig:
     # (19/20 success, 47 deg excursion). Useful only for high inter-frame
     # motion where init error dominates the basin, so kept as an option.
     motion_model: bool = False
+    # Fused-path reference renders evaluate only a statically-sized window
+    # around the cloud's projection (tracking/fused.py::_render_ref): rays
+    # outside the silhouette composite to the thresholded black anyway, and
+    # the reference render dominates the closed-loop frame cost.
+    ref_crop: bool = True
 
 
 class PixTrackTracker(PoseTracker):
