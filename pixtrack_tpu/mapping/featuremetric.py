@@ -20,6 +20,7 @@ machinery as the tracker, with batched LM solves:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -46,26 +47,65 @@ class FeatureMetricConfig:
 
 
 # ---------------------------------------------------------------- KA ----
-@jax.jit
-def _ka_step(fmaps, p2d, target, lam):
-    """One LM step moving each 2D point toward its target descriptor.
+def _interp_multi(flat, off, Wv, Hv, pts):
+    """Bilinear sample + gradient from a MULTI-image flat feature table.
 
-    fmaps (B, H, W, C) per-observation feature map (stacked by image index),
-    p2d (B, 2), target (B, C).
-    """
-    def residual(fmap, p):
-        v, g, valid = interpolate_features(fmap, p[None])
-        return v[0], g[0], valid[0]
+    ``flat`` (S, C) is all images' feature maps concatenated row-major;
+    observation b lives in the image whose rows start at ``off[b]`` with
+    width ``Wv[b]`` / height ``Hv[b]``. Same index-centered convention as
+    align.interpolate.interpolate_features. Returns (values (B, C),
+    grads (B, C, 2), valid (B,))."""
+    x, y = pts[..., 0], pts[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx, fy = x - x0, y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    valid = (x0i >= 0) & (x0i + 1 <= Wv - 1) & (y0i >= 0) & (y0i + 1 <= Hv - 1)
+    x0c = jnp.clip(x0i, 0, Wv - 2)
+    y0c = jnp.clip(y0i, 0, Hv - 2)
+    base = off + y0c * Wv + x0c
+    f00 = jnp.take(flat, base, axis=0)
+    f01 = jnp.take(flat, base + 1, axis=0)
+    f10 = jnp.take(flat, base + Wv, axis=0)
+    f11 = jnp.take(flat, base + Wv + 1, axis=0)
+    wx0, wx1 = (1.0 - fx)[..., None], fx[..., None]
+    wy0, wy1 = (1.0 - fy)[..., None], fy[..., None]
+    values = (f00 * wx0 + f01 * wx1) * wy0 + (f10 * wx0 + f11 * wx1) * wy1
+    gx = (f01 - f00) * wy0 + (f11 - f10) * wy1
+    gy = (f10 - f00) * wx0 + (f11 - f01) * wx1
+    return values, jnp.stack([gx, gy], axis=-1), valid
 
-    vals, grads, valid = jax.vmap(residual)(fmaps, p2d)
-    r = vals - target  # (B, C)
-    J = grads  # (B, C, 2)
-    g = jnp.einsum("bck,bc->bk", J, r)
-    H = jnp.einsum("bck,bcl->bkl", J, J)
-    H = H + (lam * jnp.diagonal(H, axis1=-2, axis2=-1)[..., None] + 1e-8) * jnp.eye(2)
-    delta = -jnp.linalg.solve(H, g[..., None])[..., 0]
-    cost = jnp.sum(r * r, axis=-1)
-    return delta, cost, valid
+
+@functools.partial(jax.jit, static_argnames=("iters", "n_tracks"))
+def _ka_solve(flat, off, Wv, Hv, p0, track_idx, lam, max_shift,
+              iters: int, n_tracks: int):
+    """The whole KA loop on device: per iteration, each observation takes
+    one LM step toward its track's CURRENT mean descriptor (the target
+    moves with the points — a batched block-coordinate descent on the
+    track-spread objective), under a per-observation trust region around
+    the initial location."""
+    ones = jnp.ones(p0.shape[0], p0.dtype)
+    cnt = jax.ops.segment_sum(ones, track_idx, num_segments=n_tracks)
+    cnt = jnp.maximum(cnt, 1.0)
+
+    def body(_, p):
+        vals, grads, _ = _interp_multi(flat, off, Wv, Hv, p)
+        sums = jax.ops.segment_sum(vals, track_idx, num_segments=n_tracks)
+        target = sums[track_idx] / cnt[track_idx][:, None]
+        r = vals - target
+        J = grads  # (B, C, 2)
+        g = jnp.einsum("bck,bc->bk", J, r)
+        H = jnp.einsum("bck,bcl->bkl", J, J)
+        H = H + (
+            lam * jnp.diagonal(H, axis1=-2, axis2=-1)[..., None] + 1e-8
+        ) * jnp.eye(2)
+        delta = -jnp.linalg.solve(H, g[..., None])[..., 0]
+        delta = jnp.clip(delta, -1.0, 1.0)
+        drift = jnp.clip(p + delta - p0, -max_shift, max_shift)
+        return p0 + drift
+
+    return jax.lax.fori_loop(0, iters, body, p0)
 
 
 def keypoint_adjustment(
@@ -78,61 +118,52 @@ def keypoint_adjustment(
     """Refine keypoint locations so tracks agree feature-metrically.
 
     Returns updated keypoints dict (corner convention preserved).
-    """
-    # extract finest-level features per image
-    feats = {}
-    scales = {}
-    for iid, img in images.items():
-        pyr = extractor(img)
-        feats[iid] = np.asarray(pyr.levels[cfg.level])
-        scales[iid] = np.asarray(pyr.scales[cfg.level])
 
-    new_kp = {iid: kp.copy().astype(np.float64) for iid, kp in keypoints.items()}
-
-    # flatten all observations (pad feature maps by stacking images per obs)
+    Memory/compute layout: one flat (sum_i H_i*W_i, C) feature table for
+    all images plus per-observation row offsets — each LM iteration is 4
+    gathers per observation and two segment-sums, and the entire
+    ``num_iters`` loop is one jitted program (the original per-observation
+    feature-map stack materialized B full maps: 2-6 GB of captured
+    constants on the 10-view rig and minutes of lowering)."""
     obs = [(ti, iid, kidx) for ti, tr in enumerate(tracks) for iid, kidx in tr]
+    new_kp = {iid: kp.copy().astype(np.float64) for iid, kp in keypoints.items()}
     if not obs:
         return new_kp
-    iids = [o[1] for o in obs]
-    fmap_stack = jnp.asarray(np.stack([feats[i] for i in iids]))
-    track_idx = np.array([o[0] for o in obs])
-    sc = np.stack([scales[i] for i in iids])
 
+    # extract finest-level features once per distinct image
+    used = sorted({iid for _, iid, _ in obs})
+    feats, scales = {}, {}
+    for iid in used:
+        pyr = extractor(images[iid])
+        feats[iid] = np.asarray(pyr.levels[cfg.level], np.float32)
+        scales[iid] = np.asarray(pyr.scales[cfg.level])
+
+    offsets, rows = {}, 0
+    for iid in used:
+        offsets[iid] = rows
+        H, W, _ = feats[iid].shape
+        rows += H * W
+    C = feats[used[0]].shape[-1]
+    flat = np.concatenate([feats[i].reshape(-1, C) for i in used])
+
+    iids = [o[1] for o in obs]
+    off = np.asarray([offsets[i] for i in iids], np.int32)
+    Wv = np.asarray([feats[i].shape[1] for i in iids], np.int32)
+    Hv = np.asarray([feats[i].shape[0] for i in iids], np.int32)
+    track_idx = np.asarray([o[0] for o in obs], np.int32)
     p0 = np.stack(
         [(new_kp[iid][kidx] - 0.5) * scales[iid] for _, iid, kidx in obs]
+    ).astype(np.float32)
+
+    p_final = np.asarray(
+        _ka_solve(
+            jnp.asarray(flat), jnp.asarray(off), jnp.asarray(Wv),
+            jnp.asarray(Hv), jnp.asarray(p0), jnp.asarray(track_idx),
+            jnp.float32(cfg.lambda_init), jnp.float32(cfg.max_shift_px),
+            iters=cfg.num_iters, n_tracks=len(tracks),
+        ),
+        np.float64,
     )
-    p = jnp.asarray(p0, jnp.float32)
-    lam = cfg.lambda_init
-    T = len(tracks)
-
-    @jax.jit
-    def sample_all(p):
-        return jax.vmap(
-            lambda f, q: interpolate_features(f, q[None], compute_grad=False)[0][0]
-        )(fmap_stack, p)
-
-    for _ in range(cfg.num_iters):
-        # per-track mean descriptor = target
-        vals = np.asarray(sample_all(p))
-        C = vals.shape[-1]
-        sums = np.zeros((T, C))
-        counts = np.zeros(T)
-        np.add.at(sums, track_idx, vals)
-        np.add.at(counts, track_idx, 1)
-        target = sums[track_idx] / np.maximum(counts[track_idx], 1)[:, None]
-
-        delta, cost, valid = _ka_step(
-            fmap_stack, p, jnp.asarray(target, jnp.float32), lam
-        )
-        delta = jnp.clip(delta, -1.0, 1.0)
-        p_new = p + delta
-        # trust region vs original location
-        drift = p_new - jnp.asarray(p0, jnp.float32)
-        p = jnp.asarray(p0, jnp.float32) + jnp.clip(
-            drift, -cfg.max_shift_px, cfg.max_shift_px
-        )
-
-    p_final = np.asarray(p, np.float64)
     for (ti, iid, kidx), q in zip(obs, p_final):
         new_kp[iid][kidx] = q / scales[iid] + 0.5
     return new_kp

@@ -606,6 +606,8 @@ def incremental_sfm(
     strategy: str = "chain",
     featuremetric_ka: bool = False,
     ka_extractor=None,
+    keypoints: Optional[Dict[int, np.ndarray]] = None,
+    pair_matches: Optional[Dict[Tuple[int, int], np.ndarray]] = None,
     **detect_kw,
 ) -> SceneModel:
     """Full unposed reconstruction -> SceneModel (arbitrary global scale,
@@ -616,7 +618,14 @@ def incremental_sfm(
     the ordered ring/video captures the pipeline ingests. "pnp" is the
     classical init-pair + PnP-growing mapper (COLMAP-style); it needs
     deeper scenes (PnP bootstrap against two-view structure of a shallow
-    object inherits its bas-relief distortion)."""
+    object inherits its bas-relief distortion).
+
+    ``keypoints``/``pair_matches``: bring-your-own features — precomputed
+    corner-convention keypoints per image and match arrays per (i, j)
+    pair (j-index per i-keypoint, -1 = unmatched; i < j), the same layout
+    hloc feeds COLMAP from its h5 stores (reference
+    scripts/run_reconstruction.py:39-61). When given, detection, matching
+    and two-view verification are skipped (the matches are trusted)."""
     from pixtrack_tpu.mapping.detector import detect_and_describe
     from pixtrack_tpu.mapping.matcher import match_descriptors
     from pixtrack_tpu.mapping.triangulate import (
@@ -635,10 +644,15 @@ def incremental_sfm(
     # the COLMAP h5 layout used across sfm/)
     kps: Dict[int, np.ndarray] = {}
     descs: Dict[int, np.ndarray] = {}
-    for iid, img in images.items():
-        kp, _, desc = detect_and_describe(img, max_keypoints=max_keypoints, **detect_kw)
-        kps[iid] = np.asarray(kp)
-        descs[iid] = np.asarray(desc)
+    if keypoints is not None:
+        kps = {iid: np.asarray(kp, np.float64) for iid, kp in keypoints.items()}
+    else:
+        for iid, img in images.items():
+            kp, _, desc = detect_and_describe(
+                img, max_keypoints=max_keypoints, **detect_kw
+            )
+            kps[iid] = np.asarray(kp)
+            descs[iid] = np.asarray(desc)
     ids = sorted(images)
     kp_ic = {iid: kps[iid] - 0.5 for iid in kps}  # index-centered
     kp_n = {iid: _normalize(camera, kp_ic[iid]) for iid in kps}
@@ -649,7 +663,12 @@ def incremental_sfm(
     # tracks that the same-image rule then drops wholesale.
     matches: Dict[Tuple[int, int], np.ndarray] = {}
     min_pair_inliers = 10
-    for a in range(len(ids)):
+    if pair_matches is not None:
+        matches = {
+            (min(p), max(p)): np.asarray(m).copy()
+            for p, m in pair_matches.items()
+        }
+    for a in range(len(ids) if pair_matches is None else 0):
         for b in range(a + 1, len(ids)):
             i0, i1 = ids[a], ids[b]
             m0, _ = match_descriptors(descs[i0], descs[i1], **(match_kw or {}))
