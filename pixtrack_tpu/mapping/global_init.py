@@ -353,6 +353,55 @@ def graph_covers_all(
     return True
 
 
+def covered_component(
+    ids: List[int],
+    rels: Dict[Tuple[int, int], Tuple],
+    verbose: bool = False,
+) -> List[int]:
+    """Maximal well-conditioned camera subset for averaging: iteratively
+    peel cameras with < 2 incident edges (their rotation is determined by
+    a single edge — no redundancy — and their center row makes the
+    translation system degenerate, see graph_covers_all), then keep the
+    largest connected component. Cameras outside the subset are NOT
+    averaged; the caller leaves them to incremental PnP registration
+    against the averaged cameras' structure — strictly better than
+    discarding the whole averaging because one camera is weak."""
+    alive = set(ids)
+    while alive:
+        deg = {i: 0 for i in alive}
+        for (a, b) in rels:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        weak = [i for i in alive if deg[i] < 2]
+        if not weak:
+            break
+        alive -= set(weak)
+    if not alive:
+        return []
+    adj = {i: set() for i in alive}
+    for (a, b) in rels:
+        if a in alive and b in alive:
+            adj[a].add(b)
+            adj[b].add(a)
+    best: set = set()
+    seen: set = set()
+    for s in alive:
+        if s in seen:
+            continue
+        comp = {s}
+        stack = [s]
+        while stack:
+            for j in adj[stack.pop()]:
+                if j not in comp:
+                    comp.add(j)
+                    stack.append(j)
+        seen |= comp
+        if len(comp) > len(best):
+            best = comp
+    return sorted(best)
+
+
 def global_initialize(
     ids: List[int],
     matches: Dict[Tuple[int, int], np.ndarray],
@@ -382,20 +431,41 @@ def global_initialize(
     # a junk edge closes (almost) no triangle, a genuine one closes many.
     rels = filter_edges_by_triangles(rels, gate_deg=10.0, verbose=verbose)
 
-    if len(rels) < len(ids):
+    # Coverage rule (measured on the 10-view arc rig): when a chain init
+    # exists, average ONLY with full coverage — a partially-covered
+    # averaging (e.g. 6/10 middle cameras) plus gauge-fit extension of the
+    # rest was measured WORSE than the plain chain (4.3 vs 2.9 deg global
+    # median). Without a chain to fall back to, a majority subset is still
+    # better than nothing; peeled cameras are left to PnP registration.
+    sub = covered_component(ids, rels, verbose=verbose)
+    if len(sub) < len(ids) and chain_init is not None:
+        if verbose:
+            print(f"global init: covered subset {len(sub)}/{len(ids)} "
+                  "incomplete; falling back to chain init")
         return None
-    if not graph_covers_all(ids, rels, verbose=verbose):
+    if len(sub) < max(3, (len(ids) + 1) // 2):
+        if verbose:
+            print(f"global init: covered subset {len(sub)}/{len(ids)} too "
+                  "small; no averaging")
         return None
+    if verbose and len(sub) < len(ids):
+        left = sorted(set(ids) - set(sub))
+        print(f"global init: averaging {len(sub)}/{len(ids)} cameras; "
+              f"{left} left to PnP registration")
+    sub_set = set(sub)
+    rels = {e: v for e, v in rels.items()
+            if e[0] in sub_set and e[1] in sub_set}
     init_R = None
     if chain_init:
-        init_R = {i: np.asarray(T.R, np.float64) for i, T in chain_init.items()}
+        init_R = {i: np.asarray(T.R, np.float64)
+                  for i, T in chain_init.items() if i in sub_set}
 
-    R = average_rotations(ids, rels, init=init_R)
-    centers = average_translations(ids, rels, R)
+    R = average_rotations(sub, rels, init=init_R)
+    centers = average_translations(sub, rels, R)
     if centers is None:
         return None
     poses = {}
-    for i in ids:
+    for i in sub:
         Ri = R[i].astype(np.float32)
         t = (-Ri @ centers[i]).astype(np.float32)
         poses[i] = Pose.from_Rt(Ri, t)

@@ -593,6 +593,173 @@ def _chain_initialize(
     return poses
 
 
+def _structure_guided_matches(
+    poses: Dict[int, Pose],
+    camera: Camera,
+    kps: Dict[int, np.ndarray],
+    kp_ic: Dict[int, np.ndarray],
+    descs: Dict[int, np.ndarray],
+    tracks: List[List[Tuple[int, int]]],
+    xyz_of_track: Dict[int, np.ndarray],
+    radius_px: float = 6.0,
+    min_desc_score: float = 0.75,
+    vis_cone_deg: float = 55.0,
+) -> Optional[Dict[Tuple[int, int], np.ndarray]]:
+    """Synthesize pair matches from reconstructed structure (COLMAP's
+    guided matching role): project every triangulated track into every
+    registered view and snap it to a nearby detected keypoint, gated by
+    descriptor similarity and a visibility cone around the views that
+    actually observed the track.
+
+    Why this exists: appearance-only matching fails at wide baselines
+    (repetitive texture aliases under MNN; measured 60-150 deg relative-
+    pose errors at >=3-view gaps on the arc rig), so the pair graph the
+    global averaging sees is a noisy near-chain and drift around the arc
+    cannot be closed. A first reconstruction pass is locally accurate
+    (<~10 px projection drift between far-apart views), which is exactly
+    the prior needed to re-match those pairs correctly.
+
+    Returns {(i, j): match_array} over all registered pairs i < j (the
+    j-keypoint index per i-keypoint, -1 = unmatched), or None if there is
+    no structure to guide with.
+    """
+    tids = sorted(xyz_of_track)
+    if not tids:
+        return None
+    X = np.stack([xyz_of_track[t] for t in tids])  # (P, 3)
+    trow = {t: r for r, t in enumerate(tids)}
+    P = len(tids)
+    reg = sorted(poses)
+
+    centers = {
+        i: -(np.asarray(poses[i].R).T @ np.asarray(poses[i].t)) for i in reg
+    }
+    # per-track observing directions (unit vectors point -> camera center)
+    obs_dirs: List[List[np.ndarray]] = [[] for _ in range(P)]
+    kp_of: Dict[int, Dict[int, int]] = {i: {} for i in reg}  # view -> row -> kp
+    for t in tids:
+        r = trow[t]
+        for (im, k) in tracks[t]:
+            if im in poses:
+                d = centers[im] - X[r]
+                obs_dirs[r].append(d / (np.linalg.norm(d) + 1e-12))
+                kp_of[im][r] = k
+
+    proj, vis = {}, {}
+    for i in reg:
+        uv, v = camera.world2image(poses[i], jnp.asarray(X, jnp.float32))
+        proj[i] = np.asarray(uv)
+        vis[i] = np.asarray(v)
+
+    # --- union-find guard over (tracks + loose keypoints) ---------------
+    # Guided matches MERGE tracks downstream (build_tracks union-find).
+    # Merging two tracks that co-observe an image creates a same-image
+    # conflict and the whole merged track is dropped wholesale — with
+    # near-duplicate detections (nms_radius=1) this silently destroys most
+    # of the model (measured: 302 -> <100 points). Simulate the union-find
+    # here and refuse any match that would union two nodes with
+    # intersecting image sets.
+    parent: Dict[Tuple[str, int, int], Tuple[str, int, int]] = {}
+    imgset: Dict[Tuple[str, int, int], set] = {}
+
+    def node_of(im: int, k: int) -> Tuple[str, int, int]:
+        t = _track_lookup.get((im, k))
+        return ("t", t, 0) if t is not None else ("k", im, k)
+
+    def find(n):
+        while parent.get(n, n) != n:
+            parent[n] = parent.get(parent[n], parent[n])
+            n = parent[n]
+        return n
+
+    def images_of(n):
+        if n not in imgset:
+            if n[0] == "t":
+                imgset[n] = {im for (im, _) in tracks[n[1]]}
+            else:
+                imgset[n] = {n[1]}
+        return imgset[n]
+
+    def try_union(na, nb) -> bool:
+        ra, rb = find(na), find(nb)
+        if ra == rb:
+            return True
+        A, B = images_of(ra), images_of(rb)
+        if A & B:
+            return False
+        parent[rb] = ra
+        imgset[ra] = A | B
+        imgset.pop(rb, None)
+        return True
+
+    _track_lookup: Dict[Tuple[int, int], int] = {}
+    for t, tr in enumerate(tracks):  # ALL tracks, incl. untriangulated
+        for obs in tr:
+            _track_lookup[obs] = t
+
+    cos_gate = np.cos(np.deg2rad(vis_cone_deg))
+    # cone visibility of every track in every view (front-facing proxy:
+    # the target viewing direction must be close to SOME observing one —
+    # a sparse model has no occlusion geometry to raycast against)
+    cone = {}
+    for j in reg:
+        dirs_j = centers[j][None, :] - X  # (P, 3)
+        dirs_j /= np.linalg.norm(dirs_j, axis=-1, keepdims=True) + 1e-12
+        ok = np.zeros(P, bool)
+        for r in range(P):
+            if obs_dirs[r]:
+                ok[r] = (np.stack(obs_dirs[r]) @ dirs_j[r]).max() > cos_gate
+        cone[j] = ok
+
+    out: Dict[Tuple[int, int], np.ndarray] = {}
+    for ai in range(len(reg)):
+        for bi in range(ai + 1, len(reg)):
+            i, j = reg[ai], reg[bi]
+            rows = sorted(set(kp_of[i]) & set(np.nonzero(cone[j] & vis[j])[0]))
+            m = np.full(len(kps[i]), -1, np.int64)
+            if not rows:
+                out[(i, j)] = m
+                continue
+            rows = np.asarray(rows)
+            pj = proj[j][rows]  # (R, 2) index-centered
+            d2 = (
+                (pj[:, None, :] - kp_ic[j][None, :, :]) ** 2
+            ).sum(-1)  # (R, Kj)
+            within = d2 <= radius_px * radius_px
+            ki = np.asarray([kp_of[i][r] for r in rows])
+            if descs.get(i) is not None and descs.get(j) is not None and len(
+                descs[i]
+            ):
+                score = descs[i][ki] @ descs[j].T  # (R, Kj) cosine
+                score = np.where(within, score, -np.inf)
+                best = np.argmax(score, axis=1)
+                best_s = score[np.arange(len(rows)), best]
+                keep = best_s > min_desc_score
+            else:
+                # no descriptors (bring-your-own-keypoints path): nearest
+                # within a tighter radius
+                d2g = np.where(within, d2, np.inf)
+                best = np.argmin(d2g, axis=1)
+                best_s = -d2g[np.arange(len(rows)), best]
+                keep = best_s > -(radius_px / 2) ** 2
+            # resolve collisions (two tracks snapping to one j-keypoint):
+            # highest score wins; refuse conflict-creating track merges
+            order = np.argsort(-best_s)
+            taken: Dict[int, None] = {}
+            for o in order:
+                if not keep[o]:
+                    continue
+                kj = int(best[o])
+                if kj in taken:
+                    continue
+                if not try_union(node_of(i, int(ki[o])), node_of(j, kj)):
+                    continue
+                taken[kj] = None
+                m[ki[o]] = kj
+            out[(i, j)] = m
+    return out
+
+
 def incremental_sfm(
     images: Dict[int, np.ndarray],
     camera_rec: colmap_io.CameraRecord,
@@ -608,6 +775,9 @@ def incremental_sfm(
     ka_extractor=None,
     keypoints: Optional[Dict[int, np.ndarray]] = None,
     pair_matches: Optional[Dict[Tuple[int, int], np.ndarray]] = None,
+    descriptors: Optional[Dict[int, np.ndarray]] = None,
+    init_poses: Optional[Dict[int, Pose]] = None,
+    guided_rounds: int = 0,
     **detect_kw,
 ) -> SceneModel:
     """Full unposed reconstruction -> SceneModel (arbitrary global scale,
@@ -625,7 +795,24 @@ def incremental_sfm(
     pair (j-index per i-keypoint, -1 = unmatched; i < j), the same layout
     hloc feeds COLMAP from its h5 stores (reference
     scripts/run_reconstruction.py:39-61). When given, detection, matching
-    and two-view verification are skipped (the matches are trusted)."""
+    and two-view verification are skipped (the matches are trusted);
+    ``descriptors`` optionally supplies per-image descriptors for guided
+    re-matching.
+
+    ``guided_rounds``: after the model converges, re-match every
+    registered pair with structure-guided matching (project tracks, snap
+    to detected keypoints — _structure_guided_matches), enrich the pair
+    graph, rebuild tracks and REFINE from the converged poses (the
+    rebuilt model keeps this pass's poses as init; re-initializing from
+    averaging on the enriched graph was measured worse — guided matches
+    are structure-consistent, so a fresh init just re-derives the same
+    drift with less redundancy). Off by default. Measured on the 10-view
+    arc rig with handcrafted descriptors: global rotation 2.92 -> 2.67
+    deg but reprojection 0.53 -> 0.78 px and fewer points — projection-
+    snap matching inherits the model's drift unless descriptors are
+    distinctive enough to reject near-miss candidates, so this helps
+    only WITH a learned matcher/descriptor (the attention matcher), not
+    as a substitute for one."""
     from pixtrack_tpu.mapping.detector import detect_and_describe
     from pixtrack_tpu.mapping.matcher import match_descriptors
     from pixtrack_tpu.mapping.triangulate import (
@@ -646,6 +833,8 @@ def incremental_sfm(
     descs: Dict[int, np.ndarray] = {}
     if keypoints is not None:
         kps = {iid: np.asarray(kp, np.float64) for iid, kp in keypoints.items()}
+        if descriptors is not None:
+            descs = {iid: np.asarray(d) for iid, d in descriptors.items()}
     else:
         for iid, img in images.items():
             kp, _, desc = detect_and_describe(
@@ -725,7 +914,12 @@ def incremental_sfm(
     # 2. init pair + relative pose
     pair_counts = {p: int((m >= 0).sum()) for p, m in matches.items()}
     (i0, i1) = max(pair_counts, key=pair_counts.get)
-    if strategy == "chain":
+    if init_poses is not None:
+        # bring-your-own poses (guided refine round / posed-prior mapping):
+        # keep them, skip chain/averaging entirely
+        poses = dict(init_poses)
+        i0 = next(iter(poses))
+    elif strategy == "chain":
         key, k_c = jax.random.split(key)
         poses: Dict[int, Pose] = _chain_initialize(
             ids, matches, kp_n, f_mean, k_c, verbose=verbose
@@ -747,6 +941,7 @@ def incremental_sfm(
         )
         if g_poses is not None:
             poses = g_poses
+            i0 = next(iter(poses))  # averaging may have peeled the anchor
             if verbose:
                 print(f"global init: averaged {len(poses)} poses")
     else:
@@ -799,6 +994,19 @@ def incremental_sfm(
 
     triangulate_ready([i0, i1])
 
+    def _polish_rounds(n: int, ba_iters: int = 15) -> None:
+        """Iterated intersect/adjust: triangulate everything the current
+        poses support, BA, re-triangulate (the 6 px acceptance gate is
+        re-evaluated under the improved poses each round, readmitting
+        tracks the init explained poorly). This is what converges an
+        ALL-camera averaging init: the incremental register loop never
+        runs for it, so without these rounds the model would go into
+        final polish with only the init pair triangulated."""
+        for _ in range(n):
+            triangulate_ready(list(poses))
+            global_ba(ba_iters=ba_iters)
+        triangulate_ready(list(poses))
+
     def global_ba(ba_iters: int = 15) -> None:
         """Joint pose+structure BA over the current model (bundle.py).
         Pads observation counts to power-of-two buckets to bound jit
@@ -842,6 +1050,16 @@ def incremental_sfm(
             xyz_of_track[t] = Xb2[trow[t]]
 
     remaining = [i for i in ids if i not in poses]
+    if init_poses is not None and len(poses) > 2:
+        # Only for bring-your-own poses (guided refine): iterate structure
+        # into the given poses. For the chain/averaging inits this was
+        # measured HARMFUL (3.6 vs 2.9 deg global on the arc rig): early
+        # BA entrenches the init's basin before final polish gets to
+        # RE-REGISTER each camera against converged structure.
+        _polish_rounds(2)
+        if verbose:
+            print(f"init convergence: {len(xyz_of_track)} tracks "
+                  f"triangulated over {len(poses)} init poses")
     rejected: Dict[int, int] = {}
     _EMPTY = np.asarray([-1])
     while remaining:
@@ -956,6 +1174,58 @@ def incremental_sfm(
     triangulate_ready(list(poses))
     global_ba(ba_iters=25)
     triangulate_ready(list(poses))
+    if verbose:
+        print(f"final polish: {len(xyz_of_track)} tracks with 3D points")
+
+    # 5b. structure-guided re-matching: rebuild the model from the pair
+    # graph the converged structure implies (closes wide-baseline loops
+    # appearance matching cannot).
+    if guided_rounds > 0 and len(poses) >= 3 and xyz_of_track:
+        gm = _structure_guided_matches(
+            poses, camera, kps, kp_ic, descs, tracks, xyz_of_track
+        )
+        if gm is not None:
+            # ENRICH the appearance matches with the guided ones (guided
+            # wins conflicts: it is structure-verified). Replacing
+            # wholesale was measured WORSE: guided matches only exist for
+            # triangulated tracks, so adjacent-pair redundancy collapses
+            # (2404 -> 1573 matches on the arc rig) and 2-view tracks
+            # (the PnP support of weakly-connected cameras) vanish.
+            n_old = sum(int((m >= 0).sum()) for m in matches.values())
+            for p in set(matches) | set(gm):
+                mo, mg = matches.get(p), gm.get(p)
+                if mo is None or mg is None:
+                    gm[p] = mg if mo is None else mo.copy()
+                    continue
+                m = mo.copy()
+                taken = {int(v) for v in mg[mg >= 0]}
+                old_idx = np.nonzero(m >= 0)[0]
+                drop = [k for k in old_idx if int(m[k]) in taken]
+                m[drop] = -1
+                sel = mg >= 0
+                m[sel] = mg[sel]
+                gm[p] = m
+            if verbose:
+                n_new = sum(int((m >= 0).sum()) for m in gm.values())
+                print(f"guided re-matching: {n_old} -> {n_new} matches "
+                      f"over {len(gm)} pairs; rebuilding")
+            return incremental_sfm(
+                images,
+                camera_rec,
+                names=names,
+                seed=seed + 1,
+                min_pnp_points=min_pnp_points,
+                refine_every=refine_every,
+                verbose=verbose,
+                strategy=strategy,
+                featuremetric_ka=featuremetric_ka,
+                ka_extractor=ka_extractor,
+                keypoints=kps,
+                pair_matches=gm,
+                descriptors=descs if descs else None,
+                init_poses=poses,
+                guided_rounds=guided_rounds - 1,
+            )
 
     # 6. final assembly through the shared triangulator
     image_meta = {}

@@ -119,3 +119,54 @@ def test_coverage_guard_rejects_isolated_camera():
         ).max()
         # (documented failure mode; the guard exists because of this)
         assert np.isfinite(spread) and np.isfinite(true_spread)
+
+
+def test_covered_component_peels_weak_cameras():
+    """Subset averaging (r2): a weakly-connected camera must be PEELED,
+    not force a wholesale chain fallback — the remaining well-connected
+    majority still averages and the peeled camera is left for PnP
+    registration (incremental_sfm re-registers it against the averaged
+    subset's structure)."""
+    from pixtrack_tpu.mapping.global_init import covered_component
+
+    rng = np.random.default_rng(3)
+    ids, gt_R, centers, rels = _ring_graph(rng, N=10, noise_deg=0.0)
+    assert covered_component(ids, rels) == ids
+
+    # isolate camera 7 entirely -> everyone else still averages
+    cut = {e: v for e, v in rels.items() if 7 not in e}
+    assert covered_component(ids, cut) == [i for i in ids if i != 7]
+
+    # degree-1 camera also peels (single edge = no redundancy)
+    one_edge = dict(cut)
+    one_edge[(6, 7)] = rels[(6, 7)]
+    assert covered_component(ids, one_edge) == [i for i in ids if i != 7]
+
+    # peeling cascades: a pendant chain 10-11 hanging off the ring
+    chain = dict(rels)
+    chain[(9, 10)] = rels[(8, 9)]
+    chain[(10, 11)] = rels[(8, 9)]
+    assert covered_component(ids + [10, 11], chain) == ids
+
+
+def test_global_initialize_averages_subset():
+    """global_initialize with one isolated camera returns poses for the
+    covered majority (and omits the isolated camera) instead of None."""
+    from pixtrack_tpu.mapping.global_init import (
+        average_rotations as _ar,  # noqa: F401  (import check)
+        covered_component,
+    )
+    # build a synthetic matches/keypoint problem is heavy; unit-test the
+    # subset contract through covered_component + the averaging calls
+    rng = np.random.default_rng(4)
+    ids, gt_R, centers, rels = _ring_graph(rng, N=10, noise_deg=0.5)
+    cut = {e: v for e, v in rels.items() if 7 not in e}
+    sub = covered_component(ids, cut)
+    rels_sub = {e: v for e, v in cut.items() if e[0] in sub and e[1] in sub}
+    R = average_rotations(sub, rels_sub)
+    c = average_translations(sub, rels_sub, R)
+    assert c is not None and set(c) == set(sub)
+    # recovered rotations globally consistent with GT over the subset
+    D = [gt_R[i].T @ R[i] for i in sub]
+    errs = [_ang(D[0], Dk) for Dk in D[1:]]
+    assert np.median(errs) < 1.5, errs
