@@ -140,7 +140,10 @@ def train(
             lv = float(loss)
             history.append((done, lv))
             if callback:
-                callback(done, lv)
+                # params included so callers can checkpoint mid-train
+                # (remote-TPU runs can take >1h; losing the whole run to a
+                # crash after training was a measured failure mode)
+                callback(done, lv, params)
     jax.block_until_ready(params)
     elapsed = time.time() - t0
     return field, params, {"history": history, "seconds": elapsed}

@@ -147,11 +147,17 @@ def build_nerf_assets(scene: SceneModel, object_path, aabb_scale: int = 4):
 
 
 def train_nerf_asset(object_path, n_steps: int = 10000, downscale: int = 1,
-                     batch_rays: int = 1 << 14):
+                     batch_rays: int = 1 << 14, save_every: int = 0,
+                     resume: bool = False, verbose: bool = False):
     """Stage 2: train the hash-grid NeRF on transforms.json and snapshot it
-    (train_ingp_nerf.sh role)."""
+    (train_ingp_nerf.sh role).
+
+    ``save_every`` > 0 checkpoints the snapshot every that many steps (the
+    run survives crashes/preemption — remote-TPU trainings are long);
+    ``resume`` warm-starts from an existing snapshot and trains the full
+    ``n_steps`` on top of it."""
     from pixtrack_tpu.nerf.dataset import NerfDataset
-    from pixtrack_tpu.nerf.snapshot import save_snapshot
+    from pixtrack_tpu.nerf.snapshot import load_snapshot, save_snapshot
     from pixtrack_tpu.nerf.train import TrainConfig, train
 
     paths = layout(object_path)
@@ -159,11 +165,32 @@ def train_nerf_asset(object_path, n_steps: int = 10000, downscale: int = 1,
     scene = SceneModel.load(paths["ref_sfm"])
     tf = NerfTransform.load(paths["nerf2sfm"])
     aabb = estimate_aabb_from_scene(scene, tf)
-    field, params, info = train(
-        ds, aabb=aabb,
-        cfg=TrainConfig(n_steps=n_steps, batch_rays=batch_rays),
-    )
+    if resume and paths["snapshot"].exists():
+        field, params, _ = load_snapshot(paths["snapshot"])
+    else:
+        import jax
+
+        from pixtrack_tpu.nerf.field import init_field
+
+        field, params = init_field(jax.random.PRNGKey(1))
     paths["snapshot"].parent.mkdir(parents=True, exist_ok=True)
+
+    # the callback fires on log_every boundaries, so a save_every below it
+    # would otherwise never checkpoint
+    log_every = min(500, save_every) if save_every else 500
+
+    def checkpoint(done, loss, p):
+        if verbose:
+            print(f"  nerf train step {done}: loss {loss:.5f}", flush=True)
+        if save_every and done % save_every < log_every:
+            save_snapshot(paths["snapshot"], field, p,
+                          extra={"aabb": aabb, "steps_done": done})
+    field, params, info = train(
+        ds, aabb=aabb, field=field, params=params,
+        cfg=TrainConfig(n_steps=n_steps, batch_rays=batch_rays,
+                        log_every=log_every),
+        callback=checkpoint if (save_every or verbose) else None,
+    )
     save_snapshot(paths["snapshot"], field, params, extra={"aabb": aabb})
     return field, params, info
 

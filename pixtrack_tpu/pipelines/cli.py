@@ -33,7 +33,8 @@ def _cmd_train_nerf(args):
     from pixtrack_tpu.pipelines.assets import train_nerf_asset
 
     field, params, info = train_nerf_asset(
-        args.object_path, n_steps=args.n_steps, downscale=args.downscale
+        args.object_path, n_steps=args.n_steps, downscale=args.downscale,
+        save_every=args.save_every, resume=args.resume, verbose=True,
     )
     print(json.dumps({"seconds": info["seconds"], "history": info["history"]}))
 
@@ -304,6 +305,10 @@ def main(argv=None):
     s.add_argument("--object_path", required=True)
     s.add_argument("--n_steps", type=int, default=10000)
     s.add_argument("--downscale", type=int, default=1)
+    s.add_argument("--save_every", type=int, default=1000,
+                   help="checkpoint the snapshot every N steps (0 = off)")
+    s.add_argument("--resume", action="store_true",
+                   help="warm-start from an existing snapshot")
     s.set_defaults(fn=_cmd_train_nerf)
 
     s = sub.add_parser("nerf-sfm", help="NeRF re-render + triangulation")
