@@ -778,6 +778,7 @@ def incremental_sfm(
     descriptors: Optional[Dict[int, np.ndarray]] = None,
     init_poses: Optional[Dict[int, Pose]] = None,
     guided_rounds: int = 0,
+    matcher=None,
     **detect_kw,
 ) -> SceneModel:
     """Full unposed reconstruction -> SceneModel (arbitrary global scale,
@@ -798,6 +799,13 @@ def incremental_sfm(
     and two-view verification are skipped (the matches are trusted);
     ``descriptors`` optionally supplies per-image descriptors for guided
     re-matching.
+
+    ``matcher``: optional learned pair matcher with the LearnedMatcher
+    call contract ``(desc0, kp0, shape0, desc1, kp1, shape1) ->
+    (matches0, scores0)`` (mapping/attention_matcher.py — the SuperGlue
+    role, reference scripts/run_reconstruction.py:41-50); defaults to
+    mutual-NN + ratio on descriptors. Two-view geometric verification
+    still applies to its output.
 
     ``guided_rounds``: after the model converges, re-match every
     registered pair with structure-guided matching (project tracks, snap
@@ -860,7 +868,15 @@ def incremental_sfm(
     for a in range(len(ids) if pair_matches is None else 0):
         for b in range(a + 1, len(ids)):
             i0, i1 = ids[a], ids[b]
-            m0, _ = match_descriptors(descs[i0], descs[i1], **(match_kw or {}))
+            if matcher is not None:
+                m0, _ = matcher(
+                    descs[i0], kps[i0], images[i0].shape[:2],
+                    descs[i1], kps[i1], images[i1].shape[:2],
+                )
+            else:
+                m0, _ = match_descriptors(
+                    descs[i0], descs[i1], **(match_kw or {})
+                )
             m0 = np.asarray(m0).copy()
             k0 = np.nonzero(m0 >= 0)[0]
             if len(k0) < min_pair_inliers:

@@ -195,6 +195,7 @@ def train_matcher(
             lv = float(loss)
             history.append((i + 1, lv))
             if callback:
-                callback(i + 1, lv)
+                # params included so callers can checkpoint mid-train
+                callback(i + 1, lv, params)
     jax.block_until_ready(params)
     return model, params, {"history": history, "seconds": time.time() - t0}

@@ -152,13 +152,51 @@ def _check_rig_reconstruction(
 
 class TestIncrementalSfM:
     def test_reconstructs_partial_arc_fast(self, tmp_path):
-        """10 views over a 153 deg arc at 192 px (17 deg baselines): the
-        default mapper regression gate (~4-5 min on this 1-core box).
-        Measured r2: 10/10 registered, 302 points, pairwise median 1.7 deg,
-        global median 2.9 deg, 0.53 px reproj. A full 360 ring at 192 px is
-        NOT reliable with the handcrafted detector (22.5 deg baselines
-        mis-assemble; measured 100 deg+ pairwise breaks) — ring + loop
-        closure quality is pinned by the slow 24-view 256 px test."""
+        """8 views over a 119 deg arc at 176 px (17 deg baselines): the
+        default mapper regression gate (~2.5 min on this 1-core box;
+        measured r2: 8/8 registered, 204 points, global median 3.3 deg,
+        0.52 px reproj). The richer 10-view 192 px arc (2.9 deg global,
+        0.53 px — the numbers quoted in ARCHITECTURE.md) and the 24-view
+        256 px ring + loop closure are pinned by the slow tier; a full 360
+        ring at 192 px is NOT reliable with the handcrafted detector
+        (22.5 deg baselines mis-assemble; measured 100 deg+ pairwise
+        breaks)."""
+        from pixtrack_tpu.mapping.mesh_render import load_obj, render_mesh
+        from test_mesh_render import make_cube_obj
+
+        mesh = load_obj(make_cube_obj(tmp_path))
+        res = 176
+        camera = Camera.pinhole(res * 1.1, res * 1.1, (res - 1) / 2,
+                                (res - 1) / 2, res, res)
+        views, gt_poses = {}, {}
+        for i in range(8):
+            ang = np.deg2rad(17.0) * i
+            center = 0.9 * np.array(
+                [np.sin(ang), 0.4 + 0.1 * np.sin(2 * ang), np.cos(ang)]
+            )
+            T = look_at_w2c(center)
+            views[i + 1] = render_mesh(mesh, T, camera)
+            gt_poses[i + 1] = T
+        cam_rec = colmap_io.CameraRecord(
+            1, "PINHOLE", res, res,
+            np.array([res * 1.1, res * 1.1, res / 2.0, res / 2.0]),
+        )
+        rec = incremental_sfm(
+            views, cam_rec, max_keypoints=640, nms_radius=1, verbose=True,
+            match_kw=dict(min_score=0.5, ratio=0.98),
+        )
+        _check_rig_reconstruction(
+            rec, gt_poses, 8,
+            min_registered=7, min_points=120,
+            pairwise_gate_deg=5.0, global_gate_deg=8.0,
+            center_gate_frac=0.25, reproj_gate_px=1.0,
+        )
+
+    @pytest.mark.slow
+    def test_reconstructs_arc_10view_192px(self, tmp_path):
+        """The 10-view 192 px arc whose numbers are quoted in
+        ARCHITECTURE.md (r2: 302 points, pairwise median 1.7 deg, global
+        median 2.9 deg, 0.53 px reproj)."""
         from pixtrack_tpu.mapping.mesh_render import load_obj, render_mesh
         from test_mesh_render import make_cube_obj
 

@@ -1,0 +1,150 @@
+"""SuperPoint training machinery (MagicPoint recipe): scene generator
+ground truth, homography/warp consistency, loss targets, a short
+optimization check, and — once trained weights exist at
+assets/superpoint.npz — a repeatability gate against the production Harris
+detector (the reference runs downloaded SuperPoint weights,
+scripts/run_reconstruction.py:39-48)."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pixtrack_tpu.mapping.train_superpoint import (
+    SPTrainConfig,
+    apply_homography,
+    cell_labels,
+    descriptor_loss,
+    random_homography,
+    random_scene,
+    repeatability,
+    train_superpoint,
+    warp_image,
+)
+
+WEIGHTS = Path(__file__).resolve().parents[1] / "assets" / "superpoint.npz"
+
+
+class TestSceneGenerator:
+    def test_corners_land_on_intensity_edges(self):
+        """Every valid GT corner must sit on a local intensity edge
+        (gradient magnitude well above the scene median)."""
+        cfg = SPTrainConfig(size=120, noise=0.0)
+        img, corners, valid = random_scene(jax.random.PRNGKey(0), cfg)
+        img = np.asarray(img)
+        gy, gx = np.gradient(img)
+        mag = np.hypot(gx, gy)
+        med = np.median(mag)
+        hits = 0
+        for (x, y), v in zip(np.asarray(corners), np.asarray(valid)):
+            if not v:
+                continue
+            xi, yi = int(round(x)), int(round(y))
+            if 2 <= xi < 118 and 2 <= yi < 118:
+                hits += mag[yi - 2 : yi + 3, xi - 2 : xi + 3].max() > 4 * med
+        n_valid = int(np.asarray(valid).sum())
+        assert n_valid >= 8  # most slots are quads at p_ellipse=0.3
+        assert hits >= 0.9 * n_valid
+
+    def test_ellipse_slots_contribute_no_corners(self):
+        cfg = SPTrainConfig(size=120, p_ellipse=1.0)
+        _, _, valid = random_scene(jax.random.PRNGKey(1), cfg)
+        assert not bool(np.asarray(valid).any())
+
+    def test_cell_labels_roundtrip(self):
+        corners = jnp.asarray([[13.0, 21.0], [100.0, 7.0]])
+        valid = jnp.asarray([True, True])
+        lab = np.asarray(cell_labels(corners, valid, 120))
+        assert lab.shape == (15, 15)
+        assert lab[2, 1] == (21 % 8) * 8 + (13 % 8)
+        assert lab[0, 12] == (7 % 8) * 8 + (100 % 8)
+        assert (lab == 64).sum() == 15 * 15 - 2
+
+    def test_invalid_corners_are_dropped(self):
+        corners = jnp.asarray([[13.0, 21.0], [-40.0, 7.0]])
+        valid = jnp.asarray([False, True])
+        lab = np.asarray(cell_labels(corners, valid, 120))
+        assert (lab == 64).all()
+
+
+class TestHomography:
+    def test_homography_maps_reference_corners(self):
+        H = random_homography(jax.random.PRNGKey(2), 120, 0.15)
+        src = jnp.asarray([[0.0, 0.0], [119.0, 119.0]])
+        out = np.asarray(apply_homography(H, src))
+        assert np.isfinite(out).all()
+        # identity displacement bound: corners moved by at most max_disp*S
+        assert np.abs(out - np.asarray(src)).max() <= 0.15 * 120 + 1e-3
+
+    def test_warp_consistency(self):
+        """Warped image sampled back at warped GT corner positions matches
+        the source neighbourhood (photometric consistency of the pair)."""
+        cfg = SPTrainConfig(size=120, noise=0.0)
+        img0, corners, valid = random_scene(jax.random.PRNGKey(3), cfg)
+        H = random_homography(jax.random.PRNGKey(4), 120, 0.1)
+        img1 = warp_image(img0, H)
+        from pixtrack_tpu.align.interpolate import interpolate_features
+
+        c = np.asarray(corners)[np.asarray(valid)][:8]
+        w = apply_homography(H, jnp.asarray(c))
+        v0, _, ok0 = interpolate_features(
+            img0[..., None], jnp.asarray(c), compute_grad=False
+        )
+        v1, _, ok1 = interpolate_features(img1[..., None], w, compute_grad=False)
+        ok = np.asarray(ok0) & np.asarray(ok1)
+        assert ok.sum() >= 4
+        # corners sit on edges: allow loose tolerance for resampling blur
+        diff = np.abs(np.asarray(v0) - np.asarray(v1))[ok]
+        assert np.median(diff) < 0.15
+
+
+class TestLosses:
+    def test_descriptor_loss_prefers_true_correspondence(self):
+        """A descriptor grid that is distinct per cell and exactly warped
+        must score lower than a shuffled one."""
+        cfg = SPTrainConfig(size=64)
+        Sc = 8
+        rng = np.random.default_rng(0)
+        d = rng.normal(size=(Sc * Sc, 32)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        ident = jnp.eye(3)
+        good = descriptor_loss(
+            jnp.asarray(d.reshape(Sc, Sc, 32)),
+            jnp.asarray(d.reshape(Sc, Sc, 32)),
+            ident, 64, cfg,
+        )
+        perm = rng.permutation(Sc * Sc)
+        bad = descriptor_loss(
+            jnp.asarray(d.reshape(Sc, Sc, 32)),
+            jnp.asarray(d[perm].reshape(Sc, Sc, 32)),
+            ident, 64, cfg,
+        )
+        assert float(good) < float(bad)
+
+    def test_training_loss_decreases(self):
+        cfg = SPTrainConfig(n_steps=12, batch=2, size=64, grid=2,
+                            log_every=1, seed=0)
+        _, _, info = train_superpoint(cfg)
+        hist = [l for _, l in info["history"]]
+        assert min(hist[-4:]) < hist[0]
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not WEIGHTS.exists(), reason="no trained weights yet")
+class TestTrainedSuperPoint:
+    def test_repeatability_beats_harris(self):
+        """Trained weights must be at least as repeatable under homography
+        as the production Harris detector on held-out scenes."""
+        from pixtrack_tpu.mapping.train_superpoint import (
+            load_superpoint_weights,
+        )
+
+        params = load_superpoint_weights(WEIGHTS)
+        rep_sp, n_sp = repeatability(params, detector="superpoint")
+        rep_h, _ = repeatability(None, detector="harris")
+        print(f"repeatability: superpoint {rep_sp:.2f} vs harris {rep_h:.2f}")
+        assert sum(n_sp) > 200  # it actually fires keypoints
+        assert rep_sp >= 0.6
+        assert rep_sp >= rep_h - 0.05
