@@ -1,18 +1,27 @@
 """Train the attentional matcher on synthetic correspondences.
 
 SuperGlue's training recipe, rebuilt offline (the reference downloads
-trained 'indoor' weights, run_reconstruction.py:41-50): render textured
-plane pairs with exact two-view geometry (train_basin's scene machinery),
-plant keypoints at plane points visible in both views, describe them with
-the PRODUCTION patch descriptor (mapping/detector.describe_keypoints — the
-matcher must fix THIS descriptor's confusions, not SuperPoint's), add
-unmatched distractor keypoints in each view, and minimize the dual-softmax
-NLL of the ground-truth assignment (matches to cells, unmatched to
-dustbins).
+trained 'indoor' weights, run_reconstruction.py:41-50). Two data sources:
 
-Wide baselines are the point: pairs are sampled with up to ~45 deg of
-relative rotation, where mutual-NN + ratio on patch descriptors breaks
-down (foreshortening) but geometry-aware attention can still disambiguate.
+1. **Plane pairs** (``train_matcher``): render textured plane pairs with
+   exact two-view geometry (train_basin's scene machinery), plant
+   keypoints at plane points visible in both views, describe them with
+   the PRODUCTION patch descriptor (mapping/detector.describe_keypoints —
+   the matcher must fix THIS descriptor's confusions, not SuperPoint's),
+   add unmatched distractor keypoints, and minimize the dual-softmax NLL
+   of the ground-truth assignment. Measured limitation: mutual-NN + ratio
+   is STRONG on these pairs even at 40 deg relative rotation (planar
+   texture patches stay correlated), so this source alone does not teach
+   the matcher anything NN cannot already do.
+
+2. **Mesh-pair bank** (``build_mesh_pair_bank`` + ``train_matcher_on_bank``)
+   — the deployment distribution: renders of textured cube objects on the
+   SfM capture rig geometry, REAL detected keypoints (detect_and_describe,
+   exactly as incremental_sfm runs it), and ground-truth assignments from
+   depth-consistent reprojection. This is where mutual-NN actually breaks
+   (repetitive face texture aliases under foreshortening at >=3-view
+   baseline gaps — the measured cause of the mapper's wide-baseline
+   failures), so it is the training source that matters for SfM.
 """
 
 from __future__ import annotations
@@ -166,7 +175,14 @@ def train_matcher(
         params = init_params
     n_total = cfg.n_match + cfg.n_distract
 
-    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(cfg.lr))
+    # warmup + cosine decay: a flat lr >= 1e-3 was measured to collapse the
+    # assignment head to uniform scores (loss pinned at the dustbin
+    # plateau); warmup keeps the early dual-softmax gradients bounded
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, cfg.lr, warmup_steps=min(200, cfg.n_steps // 10),
+        decay_steps=cfg.n_steps, end_value=0.05 * cfg.lr,
+    )
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt_state = optimizer.init(params)
 
     @jax.jit
@@ -199,3 +215,281 @@ def train_matcher(
                 callback(i + 1, lv, params)
     jax.block_until_ready(params)
     return model, params, {"history": history, "seconds": time.time() - t0}
+
+
+# --------------------------------------------------------------------------
+# mesh-pair bank: the deployment distribution (SfM capture-rig pairs)
+# --------------------------------------------------------------------------
+
+def _random_cube_mesh(workdir, seed: int):
+    """A textured cube with one distinct random tile per face (the same
+    recipe as the SfM test rigs: a shared/periodic texture makes opposite
+    faces alias — which is also exactly the nuisance the matcher must
+    learn to reject via geometric context)."""
+    import cv2
+    import scipy.ndimage as ndi
+
+    from pixtrack_tpu.mapping.mesh_render import load_obj
+
+    d = workdir / f"cube_{seed}"
+    d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    tex = rng.uniform(0, 255, (128, 192, 3))
+    tex = ndi.gaussian_filter(tex, (rng.uniform(1.0, 3.0),) * 2 + (0,))
+    tex = ((tex - tex.min()) / np.ptp(tex) * 255).astype(np.uint8)
+    cv2.imwrite(str(d / "tex.png"), tex)
+    (d / "cube.mtl").write_text("newmtl m\nmap_Kd tex.png\n")
+    s = 0.2
+    v = [(x, y, z) for x in (-s, s) for y in (-s, s) for z in (-s, s)]
+    faces = [  # (vertex quad, uv tile) per cube face
+        ((0, 1, 3, 2), 0), ((4, 6, 7, 5), 1), ((0, 4, 5, 1), 2),
+        ((2, 3, 7, 6), 3), ((0, 2, 6, 4), 4), ((1, 5, 7, 3), 5),
+    ]
+    lines = [f"mtllib cube.mtl\nusemtl m"]
+    for x, y, z in v:
+        lines.append(f"v {x} {y} {z}")
+    uv_tiles = [(c / 3.0, r / 2.0) for r in range(2) for c in range(3)]
+    for (u0, v0) in uv_tiles:
+        for (du, dv) in ((0, 0), (1 / 3, 0), (1 / 3, 1 / 2), (0, 1 / 2)):
+            lines.append(f"vt {u0 + du} {v0 + dv}")
+    for fi, (quad, tile) in enumerate(faces):
+        a, b, c, dd = (i + 1 for i in quad)
+        t = tile * 4 + 1
+        lines.append(f"f {a}/{t} {b}/{t + 1} {c}/{t + 2}")
+        lines.append(f"f {a}/{t} {c}/{t + 2} {dd}/{t + 3}")
+    (d / "cube.obj").write_text("\n".join(lines) + "\n")
+    return load_obj(d / "cube.obj")
+
+
+def build_mesh_pair_bank(
+    workdir,
+    n_scenes: int = 4,
+    n_views: int = 18,
+    res: int = 192,
+    max_kp: int = 256,
+    nms_radius: int = 1,
+    min_deg: float = 8.0,
+    max_deg: float = 52.0,
+    gt_radius_px: float = 2.0,
+    seed: int = 0,
+    verbose: bool = False,
+):
+    """Precompute a training bank of real detected keypoints + descriptors
+    + depth-verified GT assignments over wide-baseline mesh-render pairs.
+
+    Geometry mirrors the SfM capture rig (ring with elevation wobble, 0.9
+    radius, ~20 deg steps); detection/description is the production
+    detect_and_describe with the mapper's settings. Returns a dict of
+    static-shape arrays: desc0/1 (P, K, D) f32, kpn0/1 (P, K, 2) in
+    [-1, 1], valid0/1 (P, K) bool, gt (P, K) int32 (-1 = unmatched),
+    angle_deg (P,).
+    """
+    import pathlib
+
+    from pixtrack_tpu.mapping.detector import detect_and_describe
+    from pixtrack_tpu.mapping.mesh_render import render_mesh
+
+    workdir = pathlib.Path(workdir)
+    rng = np.random.default_rng(seed)
+    camera = Camera.pinhole(res * 1.1, res * 1.1, (res - 1) / 2,
+                            (res - 1) / 2, res, res)
+    fx = fy = res * 1.1
+    cx = cy = (res - 1) / 2
+
+    P_desc0, P_desc1, P_kp0, P_kp1 = [], [], [], []
+    P_v0, P_v1, P_gt, P_ang = [], [], [], []
+    D = None
+    for sc in range(n_scenes):
+        mesh = _random_cube_mesh(workdir, seed * 100 + sc)
+        views = []
+        for i in range(n_views):
+            ang = 2 * np.pi * i / n_views + rng.uniform(-0.04, 0.04)
+            el = rng.uniform(0.15, 0.55)
+            center = 0.9 * np.array(
+                [np.sin(ang) * np.cos(el), np.sin(el), np.cos(ang) * np.cos(el)]
+            )
+            T = _look_at_w2c(jnp.asarray(center, jnp.float32),
+                             rng.uniform(-0.3, 0.3))
+            img, depth = render_mesh(mesh, T, camera, return_depth=True)
+            kp, _, desc = detect_and_describe(
+                img, max_keypoints=max_kp, nms_radius=nms_radius
+            )
+            views.append((T, np.asarray(kp), np.asarray(desc), depth))
+            D = desc.shape[-1]
+
+        def pad(a, fill=0.0):
+            out = np.full((max_kp,) + a.shape[1:], fill, np.float32)
+            out[: len(a)] = a
+            return out
+
+        centers = [np.asarray(-(np.asarray(T.R).T @ np.asarray(T.t)))
+                   for (T, _, _, _) in views]
+        for i in range(n_views):
+            for j in range(n_views):
+                if i == j:
+                    continue
+                ci, cj = centers[i], centers[j]
+                cosang = (ci @ cj) / (np.linalg.norm(ci) * np.linalg.norm(cj))
+                ang = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+                if not (min_deg <= ang <= max_deg):
+                    continue
+                (Ti, kpi, dei, zi) = views[i]
+                (Tj, kpj, dej, zj) = views[j]
+                ni, nj = len(kpi), len(kpj)
+                # backproject kp_i with its z-buffer depth
+                xi = np.clip(np.round(kpi[:, 0]).astype(int), 0, res - 1)
+                yi = np.clip(np.round(kpi[:, 1]).astype(int), 0, res - 1)
+                z = zi[yi, xi]
+                has_d = z > 0
+                Xc = np.stack(
+                    [(kpi[:, 0] - cx) / fx * z, (kpi[:, 1] - cy) / fy * z, z],
+                    axis=-1,
+                )
+                Ri, ti = np.asarray(Ti.R), np.asarray(Ti.t)
+                Xw = (Xc - ti) @ Ri
+                uv, vis = camera.world2image(Tj, jnp.asarray(Xw, jnp.float32))
+                uv, vis = np.asarray(uv), np.asarray(vis) & has_d
+                # occlusion: depth in view j must agree with the z-buffer
+                Rj, tj = np.asarray(Tj.R), np.asarray(Tj.t)
+                zc_j = (Xw @ Rj.T + tj)[:, 2]
+                xj = np.clip(np.round(uv[:, 0]).astype(int), 0, res - 1)
+                yj = np.clip(np.round(uv[:, 1]).astype(int), 0, res - 1)
+                zbuf_j = zj[yj, xj]
+                vis &= (zbuf_j > 0) & (np.abs(zbuf_j - zc_j) < 0.04 * zc_j)
+                # snap to nearest detected keypoint in view j
+                gt = np.full(max_kp, -1, np.int32)
+                if vis.any() and nj:
+                    d2 = ((uv[:, None, :] - kpj[None, :, :]) ** 2).sum(-1)
+                    d2[~vis] = np.inf
+                    best = np.argmin(d2, axis=1)
+                    bd = d2[np.arange(ni), best]
+                    ok = bd <= gt_radius_px**2
+                    # injectivity: nearer keypoint wins a contested target
+                    order = np.argsort(bd)
+                    taken = set()
+                    for o in order:
+                        if not ok[o] or int(best[o]) in taken:
+                            continue
+                        gt[o] = best[o]
+                        taken.add(int(best[o]))
+                if (gt >= 0).sum() < 12:
+                    continue  # too little supervision in this pair
+                kn = lambda kp: kp / (res - 1) * 2.0 - 1.0
+                P_desc0.append(pad(dei))
+                P_desc1.append(pad(dej))
+                P_kp0.append(pad(kn(kpi)))
+                P_kp1.append(pad(kn(kpj)))
+                v0 = np.zeros(max_kp, bool); v0[:ni] = True
+                v1 = np.zeros(max_kp, bool); v1[:nj] = True
+                P_v0.append(v0)
+                P_v1.append(v1)
+                P_gt.append(gt)
+                P_ang.append(ang)
+        if verbose:
+            print(f"bank scene {sc}: {len(P_gt)} pairs so far", flush=True)
+
+    return {
+        "desc0": np.stack(P_desc0), "desc1": np.stack(P_desc1),
+        "kpn0": np.stack(P_kp0), "kpn1": np.stack(P_kp1),
+        "valid0": np.stack(P_v0), "valid1": np.stack(P_v1),
+        "gt": np.stack(P_gt), "angle_deg": np.asarray(P_ang, np.float32),
+    }
+
+
+def assignment_nll(logp, gt0, valid0, valid1):
+    """NLL of an arbitrary GT assignment (generalizes matcher_loss beyond
+    the diagonal layout). logp (N0+1, N1+1) dual-softmax log-probs; gt0
+    (N0,) int32 index into view-1 keypoints or -1; valid masks."""
+    N0 = gt0.shape[0]
+    N1 = logp.shape[1] - 1
+    matched = (gt0 >= 0) & valid0
+    idx = jnp.clip(gt0, 0, N1 - 1)
+    pos = jnp.where(matched, logp[jnp.arange(N0), idx], 0.0)
+    n_pos = jnp.maximum(matched.sum(), 1)
+
+    unm0 = valid0 & ~matched
+    neg0 = jnp.where(unm0, logp[:N0, N1], 0.0)
+    hit = jnp.zeros(N1, bool).at[idx].set(matched, mode="drop")
+    unm1 = valid1 & ~hit
+    neg1 = jnp.where(unm1, logp[N0, :N1], 0.0)
+    return (
+        -(pos.sum() / n_pos)
+        - 0.5 * (neg0.sum() / jnp.maximum(unm0.sum(), 1)
+                 + neg1.sum() / jnp.maximum(unm1.sum(), 1))
+    )
+
+
+def train_matcher_on_bank(
+    bank: dict,
+    cfg: MatcherTrainConfig = MatcherTrainConfig(),
+    mcfg: Optional[MatcherConfig] = None,
+    params: Optional[dict] = None,
+    holdout_frac: float = 0.1,
+    callback=None,
+):
+    """Train on a precomputed mesh-pair bank (build_mesh_pair_bank).
+    Returns (model, params, info) where info includes the held-out NLL."""
+    mcfg = mcfg or MatcherConfig(desc_dim=bank["desc0"].shape[-1])
+    model, init_params = init_matcher(jax.random.PRNGKey(cfg.seed), mcfg)
+    if params is None:
+        params = init_params
+
+    P = bank["gt"].shape[0]
+    n_hold = max(1, int(P * holdout_frac))
+    rng = np.random.default_rng(cfg.seed)
+    perm = rng.permutation(P)
+    hold, tr = perm[:n_hold], perm[n_hold:]
+    dev = {k: jnp.asarray(v[tr]) for k, v in bank.items()}
+    hv = {k: jnp.asarray(v[hold]) for k, v in bank.items()}
+
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, cfg.lr, warmup_steps=min(200, cfg.n_steps // 10),
+        decay_steps=cfg.n_steps, end_value=0.05 * cfg.lr,
+    )
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    opt_state = optimizer.init(params)
+
+    def batch_loss(p, idx):
+        d0 = dev["desc0"][idx]
+        d1 = dev["desc1"][idx]
+        k0 = dev["kpn0"][idx]
+        k1 = dev["kpn1"][idx]
+        v0 = dev["valid0"][idx]
+        v1 = dev["valid1"][idx]
+        gt = dev["gt"][idx]
+        logp = assignment_log_probs(model.apply(p, d0, k0, v0, d1, k1, v1))
+        return jax.vmap(assignment_nll)(logp, gt, v0, v1).mean()
+
+    @jax.jit
+    def step(params, opt_state, key):
+        k_b, k_next = jax.random.split(key)
+        idx = jax.random.randint(k_b, (cfg.batch,), 0, len(tr))
+        loss, grads = jax.value_and_grad(batch_loss)(params, idx)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, k_next
+
+    @jax.jit
+    def holdout_nll(p):
+        logp = assignment_log_probs(
+            model.apply(p, hv["desc0"], hv["kpn0"], hv["valid0"],
+                        hv["desc1"], hv["kpn1"], hv["valid1"])
+        )
+        return jax.vmap(assignment_nll)(
+            logp, hv["gt"], hv["valid0"], hv["valid1"]
+        ).mean()
+
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    history = []
+    t0 = time.time()
+    for i in range(cfg.n_steps):
+        params, opt_state, loss, key = step(params, opt_state, key)
+        if (i + 1) % cfg.log_every == 0 or i == 0:
+            lv = float(loss)
+            history.append((i + 1, lv))
+            if callback:
+                callback(i + 1, lv, params)
+    h_nll = float(holdout_nll(params))
+    return model, params, {
+        "history": history, "holdout_nll": h_nll,
+        "seconds": time.time() - t0, "n_pairs": int(P),
+    }

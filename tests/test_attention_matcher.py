@@ -86,6 +86,71 @@ class TestTraining:
         assert min(l for _, l in hist[1:]) < hist[0][1], hist
 
 
+class TestAssignmentNLL:
+    def test_correct_assignment_scores_lower(self):
+        """assignment_nll must prefer the GT assignment over a shuffle,
+        with arbitrary (non-diagonal) gt indices and padding."""
+        from pixtrack_tpu.mapping.train_matcher import assignment_nll
+        from pixtrack_tpu.mapping.attention_matcher import (
+            assignment_log_probs,
+        )
+
+        rng = np.random.default_rng(0)
+        N0, N1 = 12, 10
+        gt = np.full(N0, -1, np.int32)
+        gt[:7] = rng.permutation(N1)[:7]
+        valid0 = np.ones(N0, bool); valid0[-2:] = False
+        valid1 = np.ones(N1, bool)
+        scores = np.full((N0 + 1, N1 + 1), -4.0, np.float32)
+        for i, j in enumerate(gt):
+            if j >= 0:
+                scores[i, j] = 6.0      # GT gets the high score
+        scores[7:, N1] = 6.0            # unmatched rows -> dustbin
+        logp = assignment_log_probs(jnp.asarray(scores)[None])[0]
+        good = float(assignment_nll(
+            logp, jnp.asarray(gt), jnp.asarray(valid0), jnp.asarray(valid1)
+        ))
+        bad_gt = gt.copy()
+        bad_gt[:7] = np.roll(gt[:7], 1)
+        bad = float(assignment_nll(
+            logp, jnp.asarray(bad_gt), jnp.asarray(valid0), jnp.asarray(valid1)
+        ))
+        assert good < bad
+
+    def test_mesh_bank_and_bank_training(self, tmp_path):
+        """A tiny mesh-pair bank has depth-verified GT (descriptor
+        similarity of GT matches beats shuffled pairs) and a short
+        bank-training run reduces the loss."""
+        from pixtrack_tpu.mapping.train_matcher import (
+            MatcherTrainConfig,
+            build_mesh_pair_bank,
+            train_matcher_on_bank,
+        )
+
+        bank = build_mesh_pair_bank(tmp_path, n_scenes=1, n_views=6,
+                                    res=128, max_kp=96, min_deg=8.0,
+                                    max_deg=75.0)
+        gt = bank["gt"]
+        assert gt.shape[0] >= 4
+        assert (gt >= 0).sum(1).min() >= 12
+        d0, d1 = bank["desc0"], bank["desc1"]
+        sims, shuf = [], []
+        for p in range(gt.shape[0]):
+            m = gt[p] >= 0
+            sims.append((d0[p][m] * d1[p][gt[p][m]]).sum(-1).mean())
+            shuf.append(
+                (d0[p][m] * np.roll(d1[p][gt[p][m]], 1, axis=0)).sum(-1).mean()
+            )
+        assert np.mean(sims) > np.mean(shuf)
+
+        mcfg = MatcherConfig(d_model=32, n_heads=2, n_layers=1)
+        cfg = MatcherTrainConfig(n_steps=16, batch=2, log_every=4, lr=1e-3)
+        _, _, info = train_matcher_on_bank(bank, cfg, mcfg)
+        hist = [l for _, l in info["history"]]
+        assert np.isfinite(info["holdout_nll"])
+        assert min(hist[1:]) < hist[0]
+
+
 @pytest.mark.skipif(not WEIGHTS.exists(), reason="no trained matcher weights")
 class TestTrainedMatcher:
     def test_beats_mnn_on_wide_baseline(self):
