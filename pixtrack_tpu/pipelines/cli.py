@@ -235,9 +235,21 @@ def _cmd_reconstruct(args):
     )
     # featuremetric KA on by default: the reference pipeline always runs
     # PixSfM's keypoint adjustment (run_reconstruction.py:52-61)
+    matcher = None
+    if args.matcher != "nn":
+        from pixtrack_tpu.mapping import default_matcher
+
+        matcher = default_matcher()
+        if matcher is None and args.matcher == "learned":
+            raise SystemExit(
+                "no attention-matcher checkpoint (assets/matcher.npz or "
+                "PIXTRACK_MATCHER_WEIGHTS); train one with "
+                "mapping/train_matcher.py or use --matcher nn"
+            )
     scene = incremental_sfm(images, cam_rec, names=names,
                             verbose=args.verbose,
-                            featuremetric_ka=not args.no_featuremetric)
+                            featuremetric_ka=not args.no_featuremetric,
+                            matcher=matcher)
     paths["ref_sfm"].mkdir(parents=True, exist_ok=True)
     scene.save(paths["ref_sfm"])
     print(f"reconstructed {len(scene.images)}/{len(images)} images, "
@@ -362,6 +374,11 @@ def main(argv=None):
     s.add_argument("--verbose", action="store_true")
     s.add_argument("--no-featuremetric", action="store_true",
                    help="skip featuremetric keypoint adjustment (pixsfm KA)")
+    s.add_argument("--matcher", choices=("auto", "nn", "learned"),
+                   default="auto",
+                   help="pair matcher: trained attention matcher if its "
+                        "checkpoint ships (auto), mutual-NN+ratio (nn), or "
+                        "require the learned one (learned)")
     s.set_defaults(fn=_cmd_reconstruct)
 
     s = sub.add_parser("sfm-from-obj",

@@ -69,6 +69,26 @@ class TestPersistence:
         )
 
 
+class TestDefaultMatcher:
+    def test_env_override_and_absence(self, tmp_path, monkeypatch):
+        from pixtrack_tpu.mapping import default_matcher
+
+        monkeypatch.setenv("PIXTRACK_MATCHER_WEIGHTS",
+                           str(tmp_path / "missing.npz"))
+        assert default_matcher() is None
+
+        cfg = MatcherConfig(d_model=32, n_heads=2, n_layers=1, desc_dim=16)
+        model, params = init_matcher(jax.random.PRNGKey(0), cfg)
+        save_matcher_weights(tmp_path / "m.npz", params, cfg)
+        monkeypatch.setenv("PIXTRACK_MATCHER_WEIGHTS", str(tmp_path / "m.npz"))
+        lm = default_matcher(min_score=0.05)
+        assert isinstance(lm, LearnedMatcher)
+        d0 = np.random.default_rng(0).normal(size=(6, 16)).astype(np.float32)
+        k0 = np.random.default_rng(1).uniform(0, 64, (6, 2)).astype(np.float32)
+        m0, s0 = lm(d0, k0, (64, 64), d0, k0, (64, 64))
+        assert m0.shape == (6,) and s0.shape == (6,)
+
+
 class TestTraining:
     def test_loss_optimizes(self):
         from pixtrack_tpu.mapping.train_matcher import (
