@@ -171,54 +171,53 @@ class TestAssignmentNLL:
         assert min(hist[1:]) < hist[0]
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not WEIGHTS.exists(), reason="no trained matcher weights")
 class TestTrainedMatcher:
-    def test_beats_mnn_on_wide_baseline(self):
-        """Trained weights must out-match MNN+ratio on held-out wide-baseline
-        plane pairs (the SuperGlue-over-NN claim, reference
-        run_reconstruction.py:41-50)."""
-        import jax
-
-        from pixtrack_tpu.geometry import Camera
+    def test_beats_mnn_on_held_out_mesh_pairs(self, tmp_path):
+        """A shipped checkpoint must out-match MNN+ratio on the DEPLOYMENT
+        distribution — held-out wide-baseline mesh-render pairs with real
+        detected keypoints (the SuperGlue-over-NN claim, reference
+        run_reconstruction.py:41-50). Mesh pairs, not plane pairs: mutual-NN
+        is already strong on planar texture (train_matcher.py module doc),
+        so beating it there proves nothing; the r2 mesh-bank training
+        measurably overfit and FAILED this bar (assets/negative/), which is
+        why no checkpoint ships today. This test is the acceptance gate for
+        any future one."""
         from pixtrack_tpu.mapping.attention_matcher import load_matcher_weights
-        from pixtrack_tpu.mapping.detector import _describe
         from pixtrack_tpu.mapping.matcher import match_descriptors
-        from pixtrack_tpu.mapping.train_matcher import MatcherTrainConfig, make_pair
+        from pixtrack_tpu.mapping.train_matcher import build_mesh_pair_bank
 
         model, params, _ = load_matcher_weights(WEIGHTS)
-        lm = LearnedMatcher(model, params)
-        cfg = MatcherTrainConfig(size=160, n_match=96, n_distract=32,
-                                 max_rel_deg=40.0, jitter_px=0.5)
-        camera = Camera.pinhole(192.0, 192.0, 79.5, 79.5, 160, 160)
-
-        def run_pair(seed):
-            key = jax.random.PRNGKey(10_000 + seed)  # held out
-            img0, img1, kp0, kp1, vm = make_pair(key, cfg, camera)
-            de0 = np.asarray(_describe(img0, kp0, 13, 2.0))
-            de1 = np.asarray(_describe(img1, kp1, 13, 2.0))
-            kp0, kp1 = np.asarray(kp0), np.asarray(kp1)
-            vm = np.asarray(vm)
+        lm = LearnedMatcher(model, params, min_score=0.1)
+        # seed disjoint from the shipped training banks (train seed 1 ->
+        # scenes 100.., runner eval seed 777 -> 77700..)
+        bank = build_mesh_pair_bank(tmp_path, n_scenes=1, n_views=10,
+                                    res=192, max_kp=256, min_deg=20.0,
+                                    max_deg=52.0, seed=31)
+        n_pairs = min(bank["gt"].shape[0], 16)
+        nn_c = nn_p = at_c = at_p = 0
+        for p in range(n_pairs):
+            v0, v1 = bank["valid0"][p], bank["valid1"][p]
+            n0, n1 = int(v0.sum()), int(v1.sum())
+            d0, d1 = bank["desc0"][p][:n0], bank["desc1"][p][:n1]
+            k0 = (bank["kpn0"][p][:n0] + 1) / 2 * 191
+            k1 = (bank["kpn1"][p][:n1] + 1) / 2 * 191
+            gt = bank["gt"][p][:n0]
 
             def prf(m0):
-                idx = np.arange(cfg.n_match)
-                correct = (m0[:cfg.n_match] == idx) & vm
-                proposed = (m0 >= 0).sum()
-                return correct.sum(), max(proposed, 1)
+                m0 = np.asarray(m0)[:n0]
+                prop = int((m0 >= 0).sum())
+                corr = int(((m0 == gt) & (gt >= 0) & (m0 >= 0)).sum())
+                return corr, prop
 
-            m_nn, _ = match_descriptors(de0, de1, min_score=0.5, ratio=0.98)
-            m_at, _ = lm(de0, kp0, (160, 160), de1, kp1, (160, 160))
-            return prf(np.asarray(m_nn)), prf(m_at)
-
-        nn_c = nn_p = at_c = at_p = 0
-        for s in range(6):
-            (c0, p0), (c1, p1) = run_pair(s)
-            nn_c += c0
-            nn_p += p0
-            at_c += c1
-            at_p += p1
-        rec_nn, rec_at = nn_c / 6, at_c / 6
-        prec_nn, prec_at = nn_c / nn_p, at_c / at_p
-        print(f"recall NN {rec_nn:.1f} vs attention {rec_at:.1f}; "
+            c0, p0 = prf(match_descriptors(d0, d1, min_score=0.5,
+                                           ratio=0.98)[0])
+            c1, p1 = prf(lm(d0, k0, (192, 192), d1, k1, (192, 192))[0])
+            nn_c += c0; nn_p += p0; at_c += c1; at_p += p1
+        prec_nn = nn_c / max(nn_p, 1)
+        prec_at = at_c / max(at_p, 1)
+        print(f"{n_pairs} pairs: correct NN {nn_c} vs attention {at_c}; "
               f"precision NN {prec_nn:.2f} vs attention {prec_at:.2f}")
-        assert at_c > nn_c, (rec_nn, rec_at)
-        assert prec_at >= 0.8, prec_at
+        assert at_c > nn_c, (nn_c, at_c)
+        assert prec_at >= prec_nn, (prec_nn, prec_at)
