@@ -1,0 +1,84 @@
+"""Production SuperPoint training run (MagicPoint recipe, VERDICT r1 #4's
+"SuperPoint training executed" gap): train the detector+descriptor on
+synthetic geometry, checkpoint as it goes, and gate acceptance on held-out
+homography repeatability vs the production Harris detector
+(tests/test_superpoint.py::TestTrainedSuperPoint).
+
+Usage: nohup python scripts_dev/train_superpoint_run.py > /tmp/sp_run.log 2>&1 &
+Writes assets/superpoint.npz + assets/superpoint_eval.json. The weights file
+is only PROMOTED (kept at that path) if the acceptance gate passes; a failed
+run leaves assets/superpoint_candidate.npz + the eval record instead.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+N_STEPS = int(os.environ.get("SP_STEPS", "3000"))
+SAVE_EVERY = 250
+
+
+def main():
+    import jax
+
+    from pixtrack_tpu.mapping.train_superpoint import (
+        SPTrainConfig,
+        load_superpoint_weights,
+        repeatability,
+        save_superpoint_weights,
+        train_superpoint,
+    )
+
+    print("backend:", jax.default_backend(), flush=True)
+    t0 = time.time()
+    cand = REPO / "assets" / "superpoint_candidate.npz"
+
+    cfg = SPTrainConfig(n_steps=N_STEPS, batch=8, size=120, log_every=50)
+
+    def checkpoint(step, loss, params):
+        print(f"step {step}: loss {loss:.4f} ({time.time()-t0:.0f}s)",
+              flush=True)
+        if step % SAVE_EVERY == 0:
+            save_superpoint_weights(cand, params)
+
+    model, params, info = train_superpoint(cfg, callback=checkpoint)
+    save_superpoint_weights(cand, params)
+    train_s = time.time() - t0
+    print(f"trained {N_STEPS} steps in {train_s:.0f}s, "
+          f"final loss {info['history'][-1][1]:.4f}", flush=True)
+
+    # ---- acceptance gate: held-out homography repeatability ----------------
+    params = load_superpoint_weights(cand)  # round-trip through the store
+    rep_sp, n_sp = repeatability(params, detector="superpoint")
+    rep_h, _ = repeatability(None, detector="harris")
+    fires = int(sum(n_sp))
+    accepted = bool(fires > 200 and rep_sp >= 0.6 and rep_sp >= rep_h - 0.05)
+    print(f"repeatability: superpoint {rep_sp:.3f} ({fires} kps) "
+          f"vs harris {rep_h:.3f} -> accepted={accepted}", flush=True)
+
+    out = {
+        "steps": N_STEPS,
+        "final_loss": round(float(info["history"][-1][1]), 4),
+        "train_seconds": round(train_s, 1),
+        "repeatability_superpoint": round(float(rep_sp), 3),
+        "repeatability_harris": round(float(rep_h), 3),
+        "keypoints_fired": fires,
+        "accepted": accepted,
+    }
+    with open(REPO / "assets" / "superpoint_eval.json", "w") as f:
+        json.dump(out, f, indent=1)
+    if accepted:
+        cand.rename(REPO / "assets" / "superpoint.npz")
+        print("promoted to assets/superpoint.npz", flush=True)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
