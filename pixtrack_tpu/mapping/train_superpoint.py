@@ -313,7 +313,9 @@ def train_superpoint(
     t0 = time.time()
     for i in range(cfg.n_steps):
         params, opt_state, loss, key = step(params, opt_state, key)
-        if (i + 1) % cfg.log_every == 0 or i == 0:
+        # the final step always lands in history, so history[-1] is the
+        # true final loss regardless of n_steps % log_every
+        if (i + 1) % cfg.log_every == 0 or i == 0 or i + 1 == cfg.n_steps:
             lv = float(loss)
             history.append((i + 1, lv))
             if callback:

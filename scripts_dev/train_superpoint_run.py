@@ -5,11 +5,14 @@ homography repeatability vs the production Harris detector
 (tests/test_superpoint.py::TestTrainedSuperPoint).
 
 Usage: nohup python scripts_dev/train_superpoint_run.py > /tmp/sp_run.log 2>&1 &
-Writes assets/superpoint.npz + assets/superpoint_eval.json. The weights file
-is only PROMOTED (kept at that path) if the acceptance gate passes; a failed
-run leaves assets/superpoint_candidate.npz + the eval record instead.
+Writes assets/superpoint.npz + assets/superpoint_eval.json on ACCEPTANCE
+(gate passed AND not worse than any incumbent checkpoint); a rejected run
+leaves assets/superpoint_candidate.npz + superpoint_candidate_eval.json and
+never touches the promoted pair, so the promoted eval record always
+describes the promoted weights (it embeds the weights' sha256 as proof).
 """
 
+import hashlib
 import json
 import os
 import sys
@@ -23,6 +26,10 @@ sys.path.insert(0, str(REPO))
 
 N_STEPS = int(os.environ.get("SP_STEPS", "3000"))
 SAVE_EVERY = 250
+
+
+def sha256(path: Path) -> str:
+    return hashlib.sha256(path.read_bytes()).hexdigest()[:16]
 
 
 def main():
@@ -39,6 +46,7 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
     t0 = time.time()
     cand = REPO / "assets" / "superpoint_candidate.npz"
+    promoted = REPO / "assets" / "superpoint.npz"
 
     cfg = SPTrainConfig(n_steps=N_STEPS, batch=8, size=120, log_every=50)
 
@@ -60,6 +68,15 @@ def main():
     rep_h, _ = repeatability(None, detector="harris")
     fires = int(sum(n_sp))
     accepted = bool(fires > 200 and rep_sp >= 0.6 and rep_sp >= rep_h - 0.05)
+    # never replace a better incumbent with a worse-but-passing candidate
+    incumbent_rep = None
+    if accepted and promoted.exists():
+        inc = load_superpoint_weights(promoted)
+        incumbent_rep, _ = repeatability(inc, detector="superpoint")
+        accepted = rep_sp >= incumbent_rep
+        print(f"incumbent repeatability {incumbent_rep:.3f} -> "
+              f"candidate {'replaces' if accepted else 'loses to'} it",
+              flush=True)
     print(f"repeatability: superpoint {rep_sp:.3f} ({fires} kps) "
           f"vs harris {rep_h:.3f} -> accepted={accepted}", flush=True)
 
@@ -71,11 +88,19 @@ def main():
         "repeatability_harris": round(float(rep_h), 3),
         "keypoints_fired": fires,
         "accepted": accepted,
+        "weights_sha256": sha256(cand),
     }
-    with open(REPO / "assets" / "superpoint_eval.json", "w") as f:
+    if incumbent_rep is not None:
+        out["incumbent_repeatability"] = round(float(incumbent_rep), 3)
+    # rejected runs record to the candidate file; only an accepted run may
+    # write the promoted eval record, paired with the promoted weights
+    eval_path = REPO / "assets" / (
+        "superpoint_eval.json" if accepted else "superpoint_candidate_eval.json"
+    )
+    with open(eval_path, "w") as f:
         json.dump(out, f, indent=1)
     if accepted:
-        cand.rename(REPO / "assets" / "superpoint.npz")
+        cand.rename(promoted)
         print("promoted to assets/superpoint.npz", flush=True)
     print(json.dumps(out), flush=True)
 
