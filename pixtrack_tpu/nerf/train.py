@@ -64,8 +64,16 @@ def train(
     params: Optional[dict] = None,
     seed: int = 0,
     callback: Optional[Callable] = None,
+    mesh=None,
 ):
-    """Train a field on a NerfDataset. Returns (field, params, history)."""
+    """Train a field on a NerfDataset. Returns (field, params, history).
+
+    ``mesh``: an optional ``jax.sharding.Mesh`` with ('dp', 'tp') axes
+    (parallel.mesh.make_mesh). When given, THIS production loop runs
+    multi-chip: the ray batch shards over dp (XLA all-reduces the gradient)
+    and each hash-table level shards over tp on its entry axis; all other
+    params replicate. The step function itself is unchanged — sharding is
+    pure annotation, the JAX way."""
     key = jax.random.PRNGKey(seed)
     if field is None:
         field, params = init_field(jax.random.PRNGKey(seed + 1))
@@ -75,6 +83,18 @@ def train(
     dirs = jnp.asarray(dirs)
     rgbs = jnp.asarray(rgbs)
     n_rays = origins.shape[0]
+
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pixtrack_tpu.parallel.mesh import shard_field_params
+
+        assert cfg.batch_rays % mesh.shape["dp"] == 0, (
+            f"batch_rays {cfg.batch_rays} must divide dp={mesh.shape['dp']}"
+        )
+        params = shard_field_params(params, mesh, field)
+        batch_sharding = NamedSharding(mesh, P("dp", None))
 
     sched = optax.exponential_decay(
         cfg.lr, cfg.n_steps, cfg.lr_final / cfg.lr, staircase=False
@@ -101,6 +121,10 @@ def train(
         o = jnp.take(origins, idx, axis=0)
         d = jnp.take(dirs, idx, axis=0)
         target = jnp.take(rgbs, idx, axis=0)
+        if batch_sharding is not None:
+            o = jax.lax.with_sharding_constraint(o, batch_sharding)
+            d = jax.lax.with_sharding_constraint(d, batch_sharding)
+            target = jax.lax.with_sharding_constraint(target, batch_sharding)
         loss, grads = jax.value_and_grad(loss_fn)(params, o, d, target, k_render)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -50,6 +50,7 @@ def make_sharded_video_tracker(
     align_cfg: Optional[AlignConfig] = None,
     rcfg: Optional[RenderConfig] = None,
     background: float = 1.0,
+    black_outside: bool = False,
     params=None,
 ):
     """Build a jitted fn(R (B,3,3), t (B,3), queries (B,H,W,3)) ->
@@ -109,7 +110,102 @@ def make_sharded_video_tracker(
             dirs.reshape(B * rH * rW, 3), aabb, rcfg,
         )
         rgb = out["rgb"] + (1.0 - out["alpha"][:, None]) * background
+        if black_outside:
+            # production reference-render convention (render_bridge.py:58-61
+            # and tracking/fused._render_ref): background composited into the
+            # object interior, hard black OUTSIDE the silhouette
+            rgb = jnp.where(out["alpha"][:, None] > 1e-2, rgb, 0.0)
         ref_imgs = rgb.reshape(B, rH, rW, 3)
         return jax.vmap(per_frame)(T, ref_imgs, queries)
 
     return run
+
+
+def make_production_video_tracker(
+    mesh: Mesh,
+    testbed,
+    nerf2sfm,
+    extractor,
+    scene,
+    camera: Camera,
+    reference_scale: float = 0.5,
+    n_points: int = 4096,
+    align_cfg: Optional[AlignConfig] = None,
+    rcfg: Optional[RenderConfig] = None,
+):
+    """Build the dp-sharded per-frame step from PRODUCTION assets: the
+    tracker's testbed render field, object NerfTransform, SfM scene points,
+    and feature extractor — the batched counterpart of one
+    tracking/fused.py steady-state refine (CLI ``track-batch``)."""
+    import numpy as np
+
+    from pixtrack_tpu.geometry.nerf_transform import C_CAM, P_W
+
+    field = testbed._baked if testbed._baked is not None else testbed.field
+    params = None if testbed._baked is not None else testbed.params
+    aabb = jnp.asarray([testbed.render_aabb.min, testbed.render_aabb.max],
+                       jnp.float32)
+
+    xyz = np.asarray(scene.xyz, np.float32)
+    if len(xyz) > n_points:
+        sel = np.random.default_rng(0).choice(len(xyz), n_points, replace=False)
+        xyz = xyz[sel]
+    p3d = jnp.asarray(xyz)
+
+    cam_id = scene.images[int(scene.image_ids[0])].camera_id
+    ref_camera = scene.camera(cam_id).scale(reference_scale)
+
+    PW = jnp.asarray(P_W, jnp.float32)
+    CCAM = jnp.asarray(C_CAM, jnp.float32)
+    R3 = jnp.asarray(nerf2sfm.R3, jnp.float32)
+    centroid = jnp.asarray(nerf2sfm.centroid, jnp.float32)
+    totp = jnp.asarray(nerf2sfm.totp, jnp.float32)
+    scale = jnp.float32(nerf2sfm.scale)
+
+    def c2w_nerf_of(T):
+        Tinv = T.inv()
+        Rm = PW @ Tinv.R @ CCAM
+        t = PW @ Tinv.t
+        t = R3 @ ((t - centroid) * scale) - totp
+        return R3 @ Rm, t
+
+    # FeatureExtractor exposes .traced for embedding in larger programs;
+    # bare pyramid callables (HandcraftedExtractor) are used as-is
+    ext_fn = getattr(extractor, "traced", extractor)
+
+    return make_sharded_video_tracker(
+        mesh, field, ext_fn, p3d, camera, ref_camera, aabb, c2w_nerf_of,
+        align_cfg=align_cfg,
+        rcfg=rcfg or RenderConfig(
+            n_coarse=testbed.n_coarse, n_fine=testbed.n_fine, perturb=False
+        ),
+        black_outside=True,  # match render_nerf_view query/reference domain
+        params=params,
+    )
+
+
+def track_video_batch(run, R0, t0, videos):
+    """Chain the sharded per-frame step over time for B videos in lockstep.
+
+    ``videos``: (B, T, H, W, 3) float [0,1] (pad shorter videos by repeating
+    their last frame; trailing results for padded steps repeat the converged
+    pose). Each timestep is ONE sharded dispatch refining all B videos'
+    frame k from their own frame k-1 estimates — per-video trajectories
+    chain exactly like the single-video tracker, at B-way throughput.
+
+    Returns dict of stacked (T, B, ...) arrays: R, t, cost, num_iters.
+    """
+    import numpy as np
+
+    R, t = jnp.asarray(R0, jnp.float32), jnp.asarray(t0, jnp.float32)
+    out = {"R": [], "t": [], "cost": [], "num_iters": []}
+    T_len = videos.shape[1]
+    for k in range(T_len):
+        R, t, cost, iters = run(R, t, videos[:, k])
+        out["R"].append(R)
+        out["t"].append(t)
+        out["cost"].append(cost)
+        out["num_iters"].append(iters)
+    # one host sync for the whole batch
+    np.asarray(out["cost"][-1])
+    return {k: np.asarray(jnp.stack(v)) for k, v in out.items()}

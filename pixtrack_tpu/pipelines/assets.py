@@ -148,19 +148,36 @@ def build_nerf_assets(scene: SceneModel, object_path, aabb_scale: int = 4):
 
 def train_nerf_asset(object_path, n_steps: int = 10000, downscale: int = 1,
                      batch_rays: int = 1 << 14, save_every: int = 0,
-                     resume: bool = False, verbose: bool = False):
+                     resume: bool = False, verbose: bool = False,
+                     devices: int = 0, tp: int = 1):
     """Stage 2: train the hash-grid NeRF on transforms.json and snapshot it
     (train_ingp_nerf.sh role).
 
     ``save_every`` > 0 checkpoints the snapshot every that many steps (the
     run survives crashes/preemption — remote-TPU trainings are long);
     ``resume`` warm-starts from an existing snapshot and trains the full
-    ``n_steps`` on top of it."""
+    ``n_steps`` on top of it.
+
+    ``devices`` > 1 runs the SAME production loop over a (dp, tp) device
+    mesh: rays shard over dp=devices/tp, each hash-table level over tp
+    (parallel/mesh.py; no reference counterpart — the reference is
+    single-GPU, SURVEY.md §5.8). devices=0 means single default device."""
     from pixtrack_tpu.nerf.dataset import NerfDataset
     from pixtrack_tpu.nerf.snapshot import load_snapshot, save_snapshot
     from pixtrack_tpu.nerf.train import TrainConfig, train
 
+    mesh = None
+    if devices and devices > 1:
+        from pixtrack_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(devices, tp=tp)
+
     paths = layout(object_path)
+    if not paths["transforms"].exists():
+        # colmap2ingp role: the reference's train_ingp_nerf.sh:1 converts the
+        # SfM model to transforms.json + nerf2sfm.pkl before training; do the
+        # same when the conversion hasn't been run separately
+        build_nerf_assets(SceneModel.load(paths["ref_sfm"]), object_path)
     ds = NerfDataset.from_transforms(paths["transforms"], downscale=downscale)
     scene = SceneModel.load(paths["ref_sfm"])
     tf = NerfTransform.load(paths["nerf2sfm"])
@@ -190,6 +207,7 @@ def train_nerf_asset(object_path, n_steps: int = 10000, downscale: int = 1,
         cfg=TrainConfig(n_steps=n_steps, batch_rays=batch_rays,
                         log_every=log_every),
         callback=checkpoint if (save_every or verbose) else None,
+        mesh=mesh,
     )
     save_snapshot(paths["snapshot"], field, params, extra={"aabb": aabb})
     return field, params, info

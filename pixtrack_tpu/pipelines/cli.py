@@ -34,7 +34,9 @@ def _cmd_train_nerf(args):
 
     field, params, info = train_nerf_asset(
         args.object_path, n_steps=args.n_steps, downscale=args.downscale,
+        batch_rays=args.batch_rays,
         save_every=args.save_every, resume=args.resume, verbose=True,
+        devices=args.devices, tp=args.tp,
     )
     print(json.dumps({"seconds": info["seconds"], "history": info["history"]}))
 
@@ -89,6 +91,93 @@ def _cmd_track(args):
     tracker.run(frames, max_frames=args.frames)
     tracker.save_poses()
     print(json.dumps(tracker.stats))
+
+
+def _cmd_track_batch(args):
+    """Track several videos at once, sharded over the device mesh (dp axis).
+
+    Each timestep refines every video's current frame in ONE sharded device
+    program (parallel/video.py); per-video pose chains stay independent.
+    Cold start is the upright reference pose per video (r9 relocalization
+    semantics) — queries should begin near the mapped object like the
+    reference's own protocol."""
+    import pickle
+
+    from pixtrack_tpu.geometry import Pose
+    from pixtrack_tpu.geometry.nerf_transform import NerfTransform
+    from pixtrack_tpu.mapping.nerf_dataset import estimate_aabb_from_scene
+    from pixtrack_tpu.nerf.testbed import initialize_testbed
+    from pixtrack_tpu.parallel.mesh import make_mesh
+    from pixtrack_tpu.parallel.video import (
+        make_production_video_tracker,
+        track_video_batch,
+    )
+    from pixtrack_tpu.pipelines.assets import layout
+    from pixtrack_tpu.sfm.scene import SceneModel
+    from pixtrack_tpu.tracking.refiner import infer_camera_from_image
+    from pixtrack_tpu.utils.config import ObjectConfig, RunConfig, load_config
+    from pixtrack_tpu.utils.io import ImageIterator
+
+    if args.config:
+        obj_cfg, run_cfg = load_config(args.config)
+    else:
+        obj_cfg, run_cfg = ObjectConfig(), RunConfig()
+    if args.object_path:
+        obj_cfg.object_path = args.object_path
+
+    paths = layout(obj_cfg.object_path)
+    scene = SceneModel.load(paths["aug_sfm"])
+    tf = NerfTransform.load(paths["nerf2sfm"])
+    aabb = obj_cfg.aabb or estimate_aabb_from_scene(scene, tf)
+    testbed = initialize_testbed(paths["snapshot"], aabb=aabb)
+
+    videos = [list(ImageIterator(q, max_frames=args.frames))
+              for q in args.query]
+    assert videos and all(videos), "every --query dir needs frames"
+    camera = infer_camera_from_image(videos[0][0][1])
+
+    mesh = make_mesh(args.devices if args.devices > 1 else None, tp=1)
+    run = make_production_video_tracker(
+        mesh, testbed, tf, run_cfg.make_extractor(), scene, camera,
+        reference_scale=run_cfg.reference_scale,
+        align_cfg=run_cfg.align_config(),
+    )
+
+    # lockstep batch: pad shorter videos by repeating their last frame
+    T_len = max(len(v) for v in videos)
+    batch = np.stack([
+        np.stack([np.asarray(v[min(k, len(v) - 1)][1], np.float32) / 255.0
+                  for k in range(T_len)])
+        for v in videos
+    ])
+    ref_name = obj_cfg.upright_ref_img or scene.names[0]
+    T0 = scene.pose_w2c(scene.name2id[ref_name])
+    B = len(videos)
+    R0 = np.tile(np.asarray(T0.R, np.float32), (B, 1, 1))
+    t0 = np.tile(np.asarray(T0.t, np.float32), (B, 1))
+
+    out = track_video_batch(run, R0, t0, batch)
+
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for b, (qdir, vid) in enumerate(zip(args.query, videos)):
+        poses = {}
+        for k, (name, _) in enumerate(vid):
+            T = Pose.from_Rt(out["R"][k, b], out["t"][k, b])
+            poses[str(name).split("/")[-1]] = {
+                "success": bool(np.isfinite(out["cost"][k, b])),
+                "T_refined": np.asarray(T.to_4x4()),
+                "cost": float(out["cost"][k, b]),
+                "query_path": str(name),
+            }
+        with open(out_dir / f"poses_{b:02d}.pkl", "wb") as f:
+            pickle.dump(poses, f)
+    print(json.dumps({
+        "n_videos": B,
+        "n_frames": int(T_len),
+        "mesh": {k: int(v) for k, v in mesh.shape.items()},
+        "mean_cost_final": float(np.mean(out["cost"][-1])),
+    }))
 
 
 def _cmd_track_ycb(args):
@@ -317,10 +406,16 @@ def main(argv=None):
     s.add_argument("--object_path", required=True)
     s.add_argument("--n_steps", type=int, default=10000)
     s.add_argument("--downscale", type=int, default=1)
+    s.add_argument("--batch_rays", type=int, default=1 << 14)
     s.add_argument("--save_every", type=int, default=1000,
                    help="checkpoint the snapshot every N steps (0 = off)")
     s.add_argument("--resume", action="store_true",
                    help="warm-start from an existing snapshot")
+    s.add_argument("--devices", type=int, default=0,
+                   help="train over an N-device (dp, tp) mesh (0/1 = single "
+                        "device; rays shard over dp, hash levels over tp)")
+    s.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel width of the mesh (divides --devices)")
     s.set_defaults(fn=_cmd_train_nerf)
 
     s = sub.add_parser("nerf-sfm", help="NeRF re-render + triangulation")
@@ -339,6 +434,20 @@ def main(argv=None):
     s.add_argument("--out_dir", default="out")
     s.add_argument("--frames", type=int)
     s.set_defaults(fn=_cmd_track)
+
+    s = sub.add_parser(
+        "track-batch",
+        help="track several videos at once over the device mesh (dp)",
+    )
+    s.add_argument("--object_path", required=True)
+    s.add_argument("--query", nargs="+", required=True,
+                   help="one frames dir per video")
+    s.add_argument("--config")
+    s.add_argument("--out_dir", default="out_batch")
+    s.add_argument("--frames", type=int, default=None)
+    s.add_argument("--devices", type=int, default=0,
+                   help="mesh size (0 = all available devices)")
+    s.set_defaults(fn=_cmd_track_batch)
 
     s = sub.add_parser("track-ycb", help="YCB-Video evaluation")
     s.add_argument("--object_path", required=True)
