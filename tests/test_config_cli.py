@@ -85,32 +85,47 @@ class TestFrameIO:
         folder = tmp_path / "data" / "0007"
         folder.mkdir(parents=True)
         K = np.array([[1066.8, 0, 312.9], [0, 1067.5, 241.3], [0, 0, 1]])
-        for i in range(2):
+        for i in range(3):
             img = (rng.uniform(size=(480, 640, 3)) * 255).astype(np.uint8)
             cv2.imwrite(str(folder / f"{i:06d}-color.png"), img)
-            pose = np.zeros((3, 4, 2))
-            pose[:, :3, 0] = np.eye(3)
-            pose[:, 3, 0] = [0, 0, 1.0]
-            pose[:, :3, 1] = np.eye(3)
-            pose[:, 3, 1] = [0.1, 0, 0.8]
+            if i == 2:
+                # last frame: the tracked object is absent -> iterator skips
+                pose = np.zeros((3, 4, 1))
+                pose[:, :3, 0] = np.eye(3)
+                pose[:, 3, 0] = [0, 0, 1.0]
+                cls = np.array([[5]])
+            else:
+                pose = np.zeros((3, 4, 2))
+                pose[:, :3, 0] = np.eye(3)
+                pose[:, 3, 0] = [0, 0, 1.0]
+                pose[:, :3, 1] = np.eye(3)
+                pose[:, 3, 1] = [0.1, 0, 0.8]
+                cls = np.array([[5], [2]])
             savemat(
                 str(folder / f"{i:06d}-meta.mat"),
                 {
                     "poses": pose,
-                    "cls_indexes": np.array([[5], [2]]),
+                    "cls_indexes": cls,
                     "intrinsic_matrix": K,
                 },
             )
         from pixtrack_tpu.utils.io import YCBVideoIterator
 
         it = YCBVideoIterator(tmp_path, "7", "003_cracker_box")
+        assert len(it) == 3  # three on-disk frames...
         frames = list(it)
-        assert len(frames) == 2
+        assert len(frames) == 2  # ...but the object appears in only two
         path, image, T, cam = frames[0]
         assert image.shape == (480, 640, 3)
         # cracker_box is class 2 -> second pose slot
         np.testing.assert_allclose(np.asarray(T.t), [0.1, 0, 0.8], atol=1e-6)
         assert float(cam.f[0]) == pytest.approx(1066.8)
+
+        # frame selection mirrors the reference's '--query 7/:20' protocol
+        sel = YCBVideoIterator(tmp_path, 7, 2, frames=range(1, 2))
+        picked = list(sel)
+        assert len(picked) == 1
+        assert picked[0][0].endswith("000001-color.png")
 
 
 class TestCLI:
