@@ -1008,7 +1008,11 @@ def incremental_sfm(
             if tid is not None:
                 xyz_of_track[tid] = p
 
-    triangulate_ready([i0, i1])
+    # seed triangulation from the init pair — but chain/averaging init can
+    # legitimately drop either pair member (averaging peels inconsistent
+    # nodes), so fall back to all posed images when the pair isn't whole
+    seed = [i for i in (i0, i1) if i in poses]
+    triangulate_ready(seed if len(seed) == 2 else list(poses))
 
     def _polish_rounds(n: int, ba_iters: int = 15) -> None:
         """Iterated intersect/adjust: triangulate everything the current
