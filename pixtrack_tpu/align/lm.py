@@ -64,6 +64,17 @@ class AlignConfig:
     # full 150 budget with the pose long converged). 0 disables.
     stagnation_iters: int = 10
     cost_rel_tol: float = 1e-4
+    # Level-entry arbitration (align_pyramid): each finer level starts from
+    # whichever of {the coarser level's result, the frame's init pose} has
+    # the lower cost under ITS OWN residual. Guards against a coarse level
+    # committing to a false basin that finer levels cannot escape — measured
+    # on the near-rotationally-symmetric bench blob, where the UNet's
+    # coarsest level walks from a <2 deg init to a stable ~16 deg attractor
+    # whose FINE-level cost is higher than at the init (diag 2026-08-19);
+    # two extra residual evaluations per level. The reference avoids this
+    # only because pixloc's learned damping rarely moves far at the coarse
+    # level; classic adaptive LM needs the guard.
+    level_arbitration: bool = True
 
 
 @flax.struct.dataclass
@@ -385,11 +396,21 @@ def align_pyramid(
     """Coarse-to-fine alignment over pyramid levels.
 
     ``levels`` must be ordered fine -> coarse (the FeaturePyramid contract);
-    iteration runs reversed, like the reference refiner.
+    iteration runs reversed, like the reference refiner. With
+    ``cfg.level_arbitration`` each finer level re-judges the coarser result
+    against the frame init under its own cost and starts from the better
+    pose (see AlignConfig).
     """
     states = []
     T = T_init
-    for data in reversed(levels):
+    for li, data in enumerate(reversed(levels)):
+        if cfg.level_arbitration and li > 0:
+            c_carry, _ = residual_cost(T, data, camera, cfg)
+            c_init, _ = residual_cost(T_init, data, camera, cfg)
+            take_init = c_init < c_carry
+            T = jax.tree.map(
+                lambda a, b: jnp.where(take_init, a, b), T_init, T
+            )
         st = align_level(T, data, camera, cfg)
         T = st.T
         states.append(st)
