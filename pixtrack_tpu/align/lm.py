@@ -64,6 +64,12 @@ class AlignConfig:
     # full 150 budget with the pose long converged). 0 disables.
     stagnation_iters: int = 10
     cost_rel_tol: float = 1e-4
+    # A candidate step is only acceptable while it keeps at least this
+    # fraction of the init evaluation's valid points in view: shrinking the
+    # valid set shrinks the mean cost's support, so "escape by invalidity"
+    # (large steps that push points off the feature map) can masquerade as
+    # improvement. 0 disables.
+    min_valid_frac: float = 0.5
     # Level-entry arbitration (align_pyramid): each finer level starts from
     # whichever of {the coarser level's result, the frame's init pose} has
     # the lower cost under ITS OWN residual. Guards against a coarse level
@@ -198,8 +204,15 @@ def _mean_cost(e2, w_static, valid, cfg: AlignConfig):
     """
     c2 = cfg.robust_c**2
     rho = c2 * jnp.log1p(e2 / c2)
-    n = jnp.maximum(jnp.sum(valid), 1)
-    return jnp.sum(w_static * rho) / n
+    n = jnp.sum(valid)
+    # An empty valid set must be the WORST cost, not a perfect one: a
+    # divergent step that throws every point out of view otherwise scores
+    # 0.0, beats every genuine cost, and gets accepted (measured: the
+    # closed-loop mid level escaped to an all-invalid pose exactly this
+    # way, collapsing the frame and triggering a spurious relocalization).
+    return jnp.where(
+        n > 0, jnp.sum(w_static * rho) / jnp.maximum(n, 1), jnp.inf
+    )
 
 
 def residual_cost(T: Pose, data: LevelData, camera: Camera, cfg: AlignConfig):
@@ -279,8 +292,8 @@ def align_level(
     # carry: best (T, cost, g, H), candidate T, lam, i, done, gnorm, stall
     def body(carry):
         T_best, c_best, g_best, H_best, T_cand, lam, i, done, _, stall = carry
-        c_cand, g_cand, H_cand, _ = evaluate(T_cand)
-        accept = c_cand < c_best
+        c_cand, g_cand, H_cand, nv_cand = evaluate(T_cand)
+        accept = (c_cand < c_best) & (nv_cand >= nv_floor)
         improved = c_cand < c_best * (1.0 - cfg.cost_rel_tol)
 
         T_b = jax.tree.map(lambda a, b: jnp.where(accept, a, b), T_cand, T_best)
@@ -313,6 +326,7 @@ def align_level(
 
     lam0 = jnp.asarray(cfg.lambda_init, jnp.float32)
     c0, g0, H0, nvalid0 = evaluate(T_init)
+    nv_floor = jnp.asarray(cfg.min_valid_frac, jnp.float32) * nvalid0
     delta0 = solve(H0, g0, lam0)
     carry = (
         T_init, c0, g0, H0, T_init.retract(delta0), lam0,
@@ -352,8 +366,8 @@ def align_level_traced(
         T, lam, done = carry
         delta, g, cost = compute_step(T, lam)
         T_new = T.retract(delta)
-        new_cost, _ = residual_cost(T_new, data, camera, cfg)
-        accept = (new_cost < cost) & (~done)
+        new_cost, nv_new = residual_cost(T_new, data, camera, cfg)
+        accept = (new_cost < cost) & (nv_new >= nv_floor) & (~done)
         T_next = jax.tree.map(lambda a, b: jnp.where(accept, a, b), T_new, T)
         lam_next = jnp.where(
             done, lam,
@@ -375,6 +389,8 @@ def align_level_traced(
         return (T_next, lam_next, done_next), rec
 
     lam0 = jnp.asarray(cfg.lambda_init, jnp.float32)
+    _, nv0 = residual_cost(T_init, data, camera, cfg)
+    nv_floor = jnp.asarray(cfg.min_valid_frac, jnp.float32) * nv0
     (T, lam, done), trace = jax.lax.scan(
         body, (T_init, lam0, jnp.asarray(False)), None, length=cfg.num_iters
     )

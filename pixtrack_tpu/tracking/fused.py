@@ -271,8 +271,13 @@ class FusedSteadyStep:
         T1 = Pose.from_Rt(R_prev, t_prev)
         D = T1 @ Pose.from_Rt(R_prev2, t_prev2).inv()
         Tv = D @ T1
+        # translation-damped extrapolation (TrackerConfig.vel_t_damp):
+        # rotation extrapolates fully, translation only partially — full
+        # extrapolation amplifies unobservable depth error geometrically
+        damp = jnp.float32(self.tracker.config.vel_t_damp)
+        t_ext = t_prev + damp * (Tv.t - t_prev)
         R_init = jnp.where(use_vel, Tv.R, R_prev)
-        t_init = jnp.where(use_vel, Tv.t, t_prev)
+        t_init = jnp.where(use_vel, t_ext, t_prev)
         R0 = jnp.where(relocalized, self.R_up, R_init)
         t0 = jnp.where(relocalized, self.t_up, t_init)
         T = Pose.from_Rt(R0, t0)

@@ -92,6 +92,16 @@ class TrackerConfig:
     # (19/20 success, 47 deg excursion). Useful only for high inter-frame
     # motion where init error dominates the basin, so kept as an option.
     motion_model: bool = False
+    # Translation damping of the extrapolation: t_init = t_{k-1} +
+    # vel_t_damp * (t_extrap - t_{k-1}). Full extrapolation (1.0) makes any
+    # pose error the aligner cannot observe (depth along the view axis on a
+    # low-texture silhouette) grow GEOMETRICALLY — measured on the bench
+    # orbit: t error 0.019 -> 0.039 -> 0.077 -> 0.19 -> 0.35 -> 0.59 -> 1.66
+    # over six frames, both extractors. At 0.5 the homogeneous error
+    # recurrence has roots {1, 0.5}: persistent but non-amplifying, so even
+    # weak depth corrections keep it bounded. Rotation extrapolates fully
+    # (well-observed; the LM corrects it every frame).
+    vel_t_damp: float = 0.5
     # Fused-path reference renders evaluate only a statically-sized window
     # around the cloud's projection (tracking/fused.py::_render_ref): rays
     # outside the silhouette composite to the thresholded black anyway, and

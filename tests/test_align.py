@@ -154,11 +154,15 @@ class TestConvergence:
         assert np.isfinite(float(st2.cost))
 
     def test_all_points_masked_out(self, rng):
-        """Degenerate input: no valid points -> finite cost, pose unchanged."""
+        """Degenerate input: no valid points -> WORST (infinite) cost so the
+        tracker's success gate and the LM accept rule both treat it as a
+        failure (a zero cost here once let divergent steps that pushed every
+        point out of view masquerade as perfect convergence), and the pose
+        must come back unchanged and finite."""
         cam, data, T_gt = make_problem(rng, n_pts=32)
         data = data.replace(mask=jnp.zeros(32, bool))
         cfg = AlignConfig(num_iters=10)
         st = align_level(T_gt, data, cam, cfg)
         assert int(st.num_valid) == 0
-        assert np.isfinite(float(st.cost))
+        assert float(st.cost) == np.inf
         assert np.all(np.isfinite(np.asarray(st.T.t)))

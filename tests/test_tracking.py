@@ -196,12 +196,19 @@ class TestFusedSteadyLoop:
         query confidences and the weighted mean cost collapses BELOW the
         adaptive gate (measured 0.04 < 0.05 on both the stepwise and fused
         paths) — confidence weighting hides, rather than flags, a signal-free
-        frame. Noise keeps confidences alive and the cost high."""
+        frame. Noise keeps confidences alive and the cost high.
+
+        cost_threshold_min: in this world the handcrafted first-frame cost
+        is ~3e-5, so the gate IS the floor. LM + level arbitration minimizes
+        even a noise frame's cost to ~0.025, so the floor must sit below
+        that for the gate to discriminate; 0.01 is still 300x the tracked
+        operating cost (the adaptive 1.1x rule, r9:255-268, governs when
+        first costs are higher)."""
         scene, testbed, nerf2sfm, camera, gt, frames = world
         extractor = FeatureExtractor(HandcraftedExtractor(), resize=None)
         cfg = TrackerConfig(
             reference_scale=1.0, cold_multiscale=(1,), steady_multiscale=(1,),
-            covis_threshold=10, cost_threshold_min=0.05, refine_rounds=2,
+            covis_threshold=10, cost_threshold_min=0.01, refine_rounds=2,
         )
         tracker = PixTrackTracker(
             scene, extractor, testbed, nerf2sfm, cfg,
