@@ -62,6 +62,13 @@ class MatcherTrainConfig:
     lr: float = 2e-4
     log_every: int = 50
     seed: int = 0
+    # bank-training augmentation (r2's 5-scene/370-pair run overfit scene
+    # textures and failed the held-out gate, assets/negative/ — these fight
+    # exactly that): independent random in-plane rotation of each view's
+    # normalized keypoint frame (camera roll is a real nuisance; positional
+    # reasoning must survive it) and descriptor noise + renormalization.
+    aug_rotate: bool = True
+    aug_desc_noise: float = 0.02
 
 
 def make_pair(key, cfg: MatcherTrainConfig, camera: Camera):
@@ -426,9 +433,21 @@ def train_matcher_on_bank(
     params: Optional[dict] = None,
     holdout_frac: float = 0.1,
     callback=None,
+    scan_chunk: int = 0,
 ):
     """Train on a precomputed mesh-pair bank (build_mesh_pair_bank).
-    Returns (model, params, info) where info includes the held-out NLL."""
+    Returns (model, params, info) where info includes the held-out NLL.
+
+    Two data paths:
+      - ``scan_chunk=0`` (default, CPU-friendly): the bank stays on the
+        HOST; batches are sampled/augmented with numpy per step and
+        shipped to the device.
+      - ``scan_chunk=K>0`` (TPU): the bank is uploaded ONCE (descriptors
+        as f16 — a 40-scene bank is ~1.8 GB), and each dispatch runs K
+        training steps under ``lax.scan`` with on-device sampling and
+        augmentation. Through the axon tunnel one dispatch costs ~0.4 s,
+        so per-step host batching would spend more time on dispatch than
+        on compute; chunking amortizes it K-fold."""
     mcfg = mcfg or MatcherConfig(desc_dim=bank["desc0"].shape[-1])
     model, init_params = init_matcher(jax.random.PRNGKey(cfg.seed), mcfg)
     if params is None:
@@ -439,8 +458,7 @@ def train_matcher_on_bank(
     rng = np.random.default_rng(cfg.seed)
     perm = rng.permutation(P)
     hold, tr = perm[:n_hold], perm[n_hold:]
-    dev = {k: jnp.asarray(v[tr]) for k, v in bank.items()}
-    hv = {k: jnp.asarray(v[hold]) for k, v in bank.items()}
+    host = {k: np.asarray(v) for k, v in bank.items()}
 
     sched = optax.warmup_cosine_decay_schedule(
         0.0, cfg.lr, warmup_steps=min(200, cfg.n_steps // 10),
@@ -449,45 +467,149 @@ def train_matcher_on_bank(
     optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt_state = optimizer.init(params)
 
-    def batch_loss(p, idx):
-        d0 = dev["desc0"][idx]
-        d1 = dev["desc1"][idx]
-        k0 = dev["kpn0"][idx]
-        k1 = dev["kpn1"][idx]
-        v0 = dev["valid0"][idx]
-        v1 = dev["valid1"][idx]
-        gt = dev["gt"][idx]
-        logp = assignment_log_probs(model.apply(p, d0, k0, v0, d1, k1, v1))
-        return jax.vmap(assignment_nll)(logp, gt, v0, v1).mean()
+    def sample_batch(idx, augment: bool):
+        d0 = host["desc0"][idx].astype(np.float32)
+        d1 = host["desc1"][idx].astype(np.float32)
+        k0 = host["kpn0"][idx].astype(np.float32)
+        k1 = host["kpn1"][idx].astype(np.float32)
+        v0 = host["valid0"][idx]
+        v1 = host["valid1"][idx]
+        gt = host["gt"][idx]
+        if augment:
+            if cfg.aug_rotate:
+                for karr in (k0, k1):  # independent per-view roll
+                    th = rng.uniform(-np.pi, np.pi, size=len(idx))
+                    ca, sa = np.cos(th), np.sin(th)
+                    R = np.stack([np.stack([ca, -sa], -1),
+                                  np.stack([sa, ca], -1)], -2)  # (B, 2, 2)
+                    karr[:] = np.einsum("bij,bnj->bni", R, karr)
+            if cfg.aug_desc_noise > 0:
+                for darr in (d0, d1):
+                    darr += rng.normal(0, cfg.aug_desc_noise, darr.shape)
+                    darr /= np.clip(
+                        np.linalg.norm(darr, axis=-1, keepdims=True), 1e-8, None
+                    )
+        return (jnp.asarray(d0), jnp.asarray(k0), jnp.asarray(v0),
+                jnp.asarray(d1), jnp.asarray(k1), jnp.asarray(v1),
+                jnp.asarray(gt))
 
     @jax.jit
-    def step(params, opt_state, key):
-        k_b, k_next = jax.random.split(key)
-        idx = jax.random.randint(k_b, (cfg.batch,), 0, len(tr))
-        loss, grads = jax.value_and_grad(batch_loss)(params, idx)
+    def step(params, opt_state, d0, k0, v0, d1, k1, v1, gt):
+        def loss_fn(p):
+            logp = assignment_log_probs(
+                model.apply(p, d0, k0, v0, d1, k1, v1)
+            )
+            return jax.vmap(assignment_nll)(logp, gt, v0, v1).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss, k_next
+        return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
-    def holdout_nll(p):
-        logp = assignment_log_probs(
-            model.apply(p, hv["desc0"], hv["kpn0"], hv["valid0"],
-                        hv["desc1"], hv["kpn1"], hv["valid1"])
-        )
-        return jax.vmap(assignment_nll)(
-            logp, hv["gt"], hv["valid0"], hv["valid1"]
-        ).mean()
+    def chunk_nll(p, d0, k0, v0, d1, k1, v1, gt):
+        logp = assignment_log_probs(model.apply(p, d0, k0, v0, d1, k1, v1))
+        return jax.vmap(assignment_nll)(logp, gt, v0, v1).sum()
 
-    key = jax.random.PRNGKey(cfg.seed + 1)
+    def holdout_nll(p):
+        total = 0.0
+        for s in range(0, len(hold), cfg.batch):
+            idx = hold[s: s + cfg.batch]
+            if len(idx) < cfg.batch:  # pad to the jitted batch shape
+                idx = np.concatenate([idx, hold[: cfg.batch - len(idx)]])
+            total += float(chunk_nll(p, *sample_batch(idx, augment=False)))
+        n_eval = -(-len(hold) // cfg.batch) * cfg.batch
+        return total / n_eval
+
     history = []
     t0 = time.time()
-    for i in range(cfg.n_steps):
-        params, opt_state, loss, key = step(params, opt_state, key)
-        if (i + 1) % cfg.log_every == 0 or i == 0:
-            lv = float(loss)
-            history.append((i + 1, lv))
+    if scan_chunk > 0:
+        # ---- device-resident path: upload once, K steps per dispatch ----
+        dev = {
+            "desc0": jnp.asarray(host["desc0"][tr], jnp.float16),
+            "desc1": jnp.asarray(host["desc1"][tr], jnp.float16),
+            "kpn0": jnp.asarray(host["kpn0"][tr], jnp.float32),
+            "kpn1": jnp.asarray(host["kpn1"][tr], jnp.float32),
+            "valid0": jnp.asarray(host["valid0"][tr]),
+            "valid1": jnp.asarray(host["valid1"][tr]),
+            "gt": jnp.asarray(host["gt"][tr]),
+        }
+
+        def dev_batch(key):
+            k_i, k_r0, k_r1, k_n = jax.random.split(key, 4)
+            idx = jax.random.randint(k_i, (cfg.batch,), 0, len(tr))
+            d0 = dev["desc0"][idx].astype(jnp.float32)
+            d1 = dev["desc1"][idx].astype(jnp.float32)
+            k0 = dev["kpn0"][idx]
+            k1 = dev["kpn1"][idx]
+            if cfg.aug_rotate:
+                def rot(karr, kk):
+                    th = jax.random.uniform(
+                        kk, (cfg.batch,), minval=-np.pi, maxval=np.pi
+                    )
+                    ca, sa = jnp.cos(th), jnp.sin(th)
+                    R = jnp.stack([jnp.stack([ca, -sa], -1),
+                                   jnp.stack([sa, ca], -1)], -2)
+                    return jnp.einsum("bij,bnj->bni", R, karr)
+                k0 = rot(k0, k_r0)
+                k1 = rot(k1, k_r1)
+            if cfg.aug_desc_noise > 0:
+                kn0, kn1 = jax.random.split(k_n)
+                def noisy(d, kk):
+                    d = d + cfg.aug_desc_noise * jax.random.normal(
+                        kk, d.shape, d.dtype
+                    )
+                    return d / jnp.clip(
+                        jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8
+                    )
+                d0, d1 = noisy(d0, kn0), noisy(d1, kn1)
+            return (d0, k0, dev["valid0"][idx],
+                    d1, k1, dev["valid1"][idx], dev["gt"][idx])
+
+        @jax.jit
+        def chunk(params, opt_state, key):
+            def body(carry, _):
+                params, opt_state, key = carry
+                k_b, key = jax.random.split(key)
+                d0, k0, v0, d1, k1, v1, gt = dev_batch(k_b)
+
+                def loss_fn(p):
+                    logp = assignment_log_probs(
+                        model.apply(p, d0, k0, v0, d1, k1, v1)
+                    )
+                    return jax.vmap(assignment_nll)(logp, gt, v0, v1).mean()
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, params
+                )
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, key), loss
+
+            (params, opt_state, key), losses = jax.lax.scan(
+                body, (params, opt_state, key), None, length=scan_chunk
+            )
+            return params, opt_state, key, losses
+
+        key = jax.random.PRNGKey(cfg.seed + 7)
+        done = 0
+        while done < cfg.n_steps:
+            params, opt_state, key, losses = chunk(params, opt_state, key)
+            done += scan_chunk
+            lv = float(losses[-1])
+            history.append((done, lv))
             if callback:
-                callback(i + 1, lv, params)
+                callback(done, lv, params)
+    else:
+        for i in range(cfg.n_steps):
+            idx = rng.integers(0, len(tr), cfg.batch)
+            params, opt_state, loss = step(
+                params, opt_state, *sample_batch(tr[idx], augment=True)
+            )
+            if (i + 1) % cfg.log_every == 0 or i == 0:
+                lv = float(loss)
+                history.append((i + 1, lv))
+                if callback:
+                    callback(i + 1, lv, params)
     h_nll = float(holdout_nll(params))
     return model, params, {
         "history": history, "holdout_nll": h_nll,

@@ -198,10 +198,17 @@ class FusedSteadyStep:
         """White-background reference render + alpha at pose estimate T.
 
         With a crop window configured (``self._crop``), only the window's
-        rays are rendered and the result is pasted into a zero canvas —
-        identical to the full render wherever the window covers the
-        silhouette, because outside the silhouette the full render
-        thresholds to black anyway (render_bridge.py:58-61).
+        rays are rendered and the result stays CROP-SIZED: the returned
+        camera is the reference camera shifted by the window offset
+        (``Camera.crop``), so downstream projection/observation runs in
+        window coordinates. This matches the full render wherever the
+        window covers the silhouette, because outside the silhouette the
+        full render thresholds to black anyway (render_bridge.py:58-61) —
+        and it keeps the reference feature extraction + interior-weight
+        morphology at window size instead of the full reference canvas
+        (the UNet forward drops ~3x at the bench's 144x144 window).
+
+        Returns (rgb (h, w, 3), alpha (h, w), camera-in-window-coords).
         """
         c2w = self._c2w_nerf(T)
         if self._crop is None:
@@ -239,15 +246,11 @@ class FusedSteadyStep:
         rgb = rgb.reshape(ch, cw, 3)
         alpha = alpha.reshape(ch, cw)
         if self._crop is None:
-            return rgb, alpha
-        zero3 = jnp.zeros((self.rH, self.rW, 3), rgb.dtype)
-        zero1 = jnp.zeros((self.rH, self.rW), alpha.dtype)
-        i0 = y0.astype(jnp.int32)
-        j0 = x0.astype(jnp.int32)
-        return (
-            jax.lax.dynamic_update_slice(zero3, rgb, (i0, j0, jnp.int32(0))),
-            jax.lax.dynamic_update_slice(zero1, alpha, (i0, j0)),
+            return rgb, alpha, self.ref_camera
+        cam = self.ref_camera.crop(
+            jnp.stack([x0f, y0f]), jnp.asarray([cw, ch], jnp.float32)
         )
+        return rgb, alpha, cam
 
     # ------------------------------------------------------------ program ----
     def _frame(
@@ -302,14 +305,14 @@ class FusedSteadyStep:
         def observe_and_align(T_obs):
             """4.+5. reference render at T_obs -> observations -> LM from
             T_obs (one refine round, r9:145-205 + refiners:200-271)."""
-            ref_img, ref_alpha = self._render_ref(field_arg, T_obs)
+            ref_img, ref_alpha, ref_cam = self._render_ref(field_arg, T_obs)
             ref_pyr = self.tracker.refiner.extractor.traced(ref_img)
             f_ref, w_ref, v_ref = observe_points(
-                ref_pyr, T_obs, self.ref_camera, p3d, pmask
+                ref_pyr, T_obs, ref_cam, p3d, pmask
             )
             # silhouette-interior weighting (refiner._observe_reference)
             interior = erode((ref_alpha > 0.5).astype(jnp.float32), size=7)
-            p2d_img, _ = self.ref_camera.world2image(T_obs, p3d)
+            p2d_img, _ = ref_cam.world2image(T_obs, p3d)
             wi, _ = interpolate_scalar(interior, p2d_img)
             w_ref = tuple(w * wi for w in w_ref)
             levels = build_level_data(pyr, f_ref, w_ref, v_ref, p3d, pmask)
