@@ -16,7 +16,11 @@ and the per-frame step is exactly the reference r9 steady state
      Pallas MLP (reference_scale 0.5 -> 320x240, THRESH=0 cache semantics ==
      a fresh render every frame);
   3. reference feature extraction + 3D point observation;
-  4. masked query feature-pyramid extraction (max-edge-1024 policy);
+  4. masked query feature-pyramid extraction (max-edge-1024 policy) with the
+     PRODUCTION extractor — the shipped basin-trained UNet
+     (assets/unet_basin.npz via features.default_extractor), the same one
+     whose nuisance-robustness evidence ships in assets/unet_basin_eval.json,
+     so speed and robustness describe one configuration;
   5. coarse-to-fine feature-metric LM (3 levels x 4096 points, num_iters=150
      budget with the reference early-stop rule, pixtrack_optimizer.py:6-18).
 
@@ -60,7 +64,7 @@ def main():
 
     from pixtrack_tpu.align.lm import AlignConfig, align_pyramid
     from pixtrack_tpu.align.observations import build_level_data, observe_points
-    from pixtrack_tpu.features import FeatureExtractor, HandcraftedExtractor
+    from pixtrack_tpu.features import default_extractor
     from pixtrack_tpu.geometry import Camera, Pose
     from pixtrack_tpu.geometry.nerf_transform import C_CAM, P_W
     from pixtrack_tpu.nerf.distill import load_distilled
@@ -76,7 +80,13 @@ def main():
     camera = Camera.pinhole(600.0, 600.0, (W - 1) / 2, (H - 1) / 2, W, H)
     rW, rH = W // 2, H // 2  # reference_scale = 0.5 (r9:81)
     ref_camera = Camera.pinhole(300.0, 300.0, (rW - 1) / 2, (rH - 1) / 2, rW, rH)
-    extractor = FeatureExtractor(HandcraftedExtractor(), resize=1024)
+    # the PRODUCTION extractor: the shipped basin-trained UNet when present
+    # (features/__init__.py::default_extractor — the same resolution `cli
+    # track` uses), so the headline FPS and the robustness evidence describe
+    # ONE configuration (VERDICT r2 #1). Falls back to handcrafted only if
+    # the checkpoint is missing.
+    extractor = default_extractor(resize=1024)
+    extractor_name = type(extractor.model).__name__
     align_cfg = AlignConfig(num_iters=150)
     aabb = jnp.asarray([[0.3] * 3, [0.7] * 3])
     # 48 samples through the 0.4-extent render aabb = one every ~0.008 grid
@@ -164,10 +174,10 @@ def main():
         # 2. reference render at the current pose (THRESH=0: every frame)
         ref_img = render_ref(T)
         # 3. reference features + observations
-        ref_pyr = extractor.model(ref_img)
+        ref_pyr = extractor.traced(ref_img)
         f_ref, w_ref, v_ref = observe_points(ref_pyr, T, ref_camera, p3d_j, pmask)
         # 4. query pyramid + 5. LM refine
-        pyr = extractor.model(q)
+        pyr = extractor.traced(q)
         levels = build_level_data(pyr, f_ref, w_ref, v_ref, p3d_j, pmask)
         final, states = align_pyramid(T, levels, camera, align_cfg)
         iters = sum(s.num_iters for s in states)
@@ -217,12 +227,12 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
+        "extractor": extractor_name,
     }
     try:
         # rounds=1 is the r9-parity production default (refine once per
-        # frame at the previous estimate). Measured r2 on one v5e chip:
-        # rounds=1 -> 28.2 FPS, 0.98 deg mean, 20/20 success;
-        # rounds=2 -> 14.2 FPS, 0.80 deg mean, 20/20 success.
+        # frame at the previous estimate); both loops run the production
+        # basin-UNet extractor.
         record["closed_loop_fps"] = round(closed_loop(field, camera, rounds=1), 2)
     except Exception as e:  # never lose the open-loop number
         print(f"[bench] closed-loop failed: {e!r}", file=sys.stderr)
@@ -236,7 +246,7 @@ def closed_loop(field, camera, rounds: int = 2) -> float:
     import jax.numpy as jnp
 
     from pixtrack_tpu.align.lm import AlignConfig
-    from pixtrack_tpu.features import FeatureExtractor, HandcraftedExtractor
+    from pixtrack_tpu.features import default_extractor
     from pixtrack_tpu.geometry import Pose
     from pixtrack_tpu.geometry.nerf_transform import NerfTransform
     from pixtrack_tpu.nerf.testbed import Testbed
@@ -273,7 +283,7 @@ def closed_loop(field, camera, rounds: int = 2) -> float:
         for i, T in enumerate(gt_poses)
     ]
 
-    extractor = FeatureExtractor(HandcraftedExtractor(), resize=1024)
+    extractor = default_extractor(resize=1024)
     tracker = PixTrackTracker(
         scene, extractor, testbed, nerf2sfm,
         TrackerConfig(reference_scale=0.5, cost_threshold_min=0.05,

@@ -32,8 +32,48 @@ def default_matcher(min_score: float = 0.2):
         load_matcher_weights,
     )
 
-    model, params, _ = load_matcher_weights(path)
-    return LearnedMatcher(model, params, min_score=min_score)
+    model, params, cfg = load_matcher_weights(path)
+    lm = LearnedMatcher(model, params, min_score=min_score)
+    lm.desc_dim = cfg.desc_dim  # callers guard detector compatibility
+    return lm
+
+
+def default_superpoint_weights_path() -> Path:
+    """The shipped trained SuperPoint checkpoint (assets/superpoint.npz),
+    overridable via PIXTRACK_SUPERPOINT_WEIGHTS."""
+    env = os.environ.get("PIXTRACK_SUPERPOINT_WEIGHTS")
+    if env:
+        return Path(env)
+    return Path(__file__).resolve().parents[2] / "assets" / "superpoint.npz"
+
+
+def default_detector(max_keypoints: int = 1024, **kw):
+    """The production learned keypoint detector for SfM (the
+    SuperPoint-weights role, reference run_reconstruction.py:39-48): the
+    in-repo-trained SuperPoint when its checkpoint is shipped, else None
+    (multi-scale Harris fallback inside incremental_sfm).
+
+    Returns a ``detect(image, max_keypoints=..., **kw) -> (kp, scores,
+    desc)`` callable with ``.desc_dim`` / ``.name`` attributes, the same
+    contract as detector.detect_and_describe."""
+    path = default_superpoint_weights_path()
+    if not path.exists():
+        return None
+    from pixtrack_tpu.mapping.superpoint import extract_superpoint
+    from pixtrack_tpu.mapping.train_superpoint import load_superpoint_weights
+
+    params = load_superpoint_weights(path)
+
+    def detect(image, max_keypoints=max_keypoints, **kw2):
+        merged = {**kw, **kw2}
+        merged.pop("nms_radius", None)  # Harris-specific knob
+        return extract_superpoint(
+            params, image, max_keypoints=max_keypoints, **merged
+        )
+
+    detect.desc_dim = 256
+    detect.name = "superpoint"
+    return detect
 
 
 __all__ = [
@@ -45,4 +85,6 @@ __all__ = [
     "triangulate_scene",
     "default_matcher",
     "default_matcher_weights_path",
+    "default_detector",
+    "default_superpoint_weights_path",
 ]

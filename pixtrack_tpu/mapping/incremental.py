@@ -779,6 +779,7 @@ def incremental_sfm(
     init_poses: Optional[Dict[int, Pose]] = None,
     guided_rounds: int = 0,
     matcher=None,
+    detector=None,
     **detect_kw,
 ) -> SceneModel:
     """Full unposed reconstruction -> SceneModel (arbitrary global scale,
@@ -844,10 +845,12 @@ def incremental_sfm(
         if descriptors is not None:
             descs = {iid: np.asarray(d) for iid, d in descriptors.items()}
     else:
+        # ``detector``: learned detector/descriptor backend with the
+        # detect_and_describe contract (the SuperPoint-weights role,
+        # mapping.default_detector); default is the multi-scale Harris
+        detect = detector or detect_and_describe
         for iid, img in images.items():
-            kp, _, desc = detect_and_describe(
-                img, max_keypoints=max_keypoints, **detect_kw
-            )
+            kp, _, desc = detect(img, max_keypoints=max_keypoints, **detect_kw)
             kps[iid] = np.asarray(kp)
             descs[iid] = np.asarray(desc)
     ids = sorted(images)

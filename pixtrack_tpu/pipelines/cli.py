@@ -322,6 +322,20 @@ def _cmd_reconstruct(args):
         1, "SIMPLE_RADIAL", w, h,
         np.array([float(cam.f[0]), w / 2.0, h / 2.0, 0.0]),
     )
+    # learned detector (the SuperPoint-weights role): trained checkpoint
+    # when shipped (auto), else the multi-scale Harris fallback
+    detector = None
+    if args.detector != "harris":
+        from pixtrack_tpu.mapping import default_detector
+
+        detector = default_detector()
+        if detector is None and args.detector == "superpoint":
+            raise SystemExit(
+                "no SuperPoint checkpoint (assets/superpoint.npz or "
+                "PIXTRACK_SUPERPOINT_WEIGHTS); train one with "
+                "scripts_dev/train_superpoint_run.py or use "
+                "--detector harris"
+            )
     # featuremetric KA on by default: the reference pipeline always runs
     # PixSfM's keypoint adjustment (run_reconstruction.py:52-61)
     matcher = None
@@ -335,10 +349,23 @@ def _cmd_reconstruct(args):
                 "PIXTRACK_MATCHER_WEIGHTS); train one with "
                 "mapping/train_matcher.py or use --matcher nn"
             )
+        # the learned matcher is bound to the descriptor space it was
+        # trained on; a detector with a different descriptor dim can't
+        # feed it (e.g. SuperPoint 256-d vs Harris-patch 845-d)
+        det_dim = getattr(detector, "desc_dim", 845)
+        if matcher is not None and getattr(matcher, "desc_dim", det_dim) != det_dim:
+            if args.matcher == "learned":
+                raise SystemExit(
+                    f"attention matcher was trained on "
+                    f"{matcher.desc_dim}-d descriptors but the selected "
+                    f"detector produces {det_dim}-d; retrain or change "
+                    f"--detector"
+                )
+            matcher = None
     scene = incremental_sfm(images, cam_rec, names=names,
                             verbose=args.verbose,
                             featuremetric_ka=not args.no_featuremetric,
-                            matcher=matcher)
+                            matcher=matcher, detector=detector)
     paths["ref_sfm"].mkdir(parents=True, exist_ok=True)
     scene.save(paths["ref_sfm"])
     print(f"reconstructed {len(scene.images)}/{len(images)} images, "
@@ -488,6 +515,11 @@ def main(argv=None):
                    help="pair matcher: trained attention matcher if its "
                         "checkpoint ships (auto), mutual-NN+ratio (nn), or "
                         "require the learned one (learned)")
+    s.add_argument("--detector", choices=("auto", "harris", "superpoint"),
+                   default="auto",
+                   help="keypoint detector: trained SuperPoint if its "
+                        "checkpoint ships (auto), multi-scale Harris "
+                        "(harris), or require SuperPoint (superpoint)")
     s.set_defaults(fn=_cmd_reconstruct)
 
     s = sub.add_parser("sfm-from-obj",

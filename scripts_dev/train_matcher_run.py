@@ -33,6 +33,9 @@ sys.path.insert(0, str(REPO))
 
 BANK = Path(os.environ.get("MATCHER_BANK", "/tmp/matcher_bank/train.npz"))
 N_STEPS = int(os.environ.get("MT_STEPS", "8000"))
+# scan-chunked dispatch size on TPU; a 50-step chunk produced a program big
+# enough to kill the remote compile helper (broken pipe) — default smaller
+SCAN_CHUNK = int(os.environ.get("MT_SCAN", "10"))
 EVAL_SEED = 777  # runner-private; the shipped test gates on seed 31
 
 
@@ -123,12 +126,12 @@ def main():
     def checkpoint(step, loss, params):
         print(f"step {step}: loss {loss:.4f} ({time.time()-t0:.0f}s)",
               flush=True)
-        if step % 1000 < (50 if on_tpu else 1):
+        if step % 1000 < (max(SCAN_CHUNK, 1) if on_tpu else 1):
             save_matcher_weights(cand, params, mcfg)
 
     model, params, info = train_matcher_on_bank(
         bank, cfg, mcfg, callback=checkpoint,
-        scan_chunk=50 if on_tpu else 0,
+        scan_chunk=SCAN_CHUNK if on_tpu else 0,
     )
     save_matcher_weights(cand, params, mcfg)
     train_s = time.time() - t0

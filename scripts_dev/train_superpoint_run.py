@@ -48,19 +48,32 @@ def main():
     cand = REPO / "assets" / "superpoint_candidate.npz"
     promoted = REPO / "assets" / "superpoint.npz"
 
-    cfg = SPTrainConfig(n_steps=N_STEPS, batch=8, size=120, log_every=50)
+    if os.environ.get("SP_REGATE") == "1":
+        # gate an existing candidate (e.g. after an eval-protocol fix)
+        # without retraining
+        assert cand.exists(), cand
+        info = {"history": [(0, float("nan"))]}
+        train_s = 0.0
+        print(f"re-gating existing candidate {sha256(cand)}", flush=True)
+    else:
+        # grid=5 + slot dropping: train across corner densities (7..25
+        # shapes/scene). The grid=3-trained run was perfectly repeatable
+        # in-distribution but lost to Harris on dense scenes (0.768 vs
+        # 0.832 at grid=5); the eval gate runs at grid=5.
+        cfg = SPTrainConfig(n_steps=N_STEPS, batch=8, size=120, log_every=50,
+                            grid=5, p_drop_max=0.7)
 
-    def checkpoint(step, loss, params):
-        print(f"step {step}: loss {loss:.4f} ({time.time()-t0:.0f}s)",
-              flush=True)
-        if step % SAVE_EVERY == 0:
-            save_superpoint_weights(cand, params)
+        def checkpoint(step, loss, params):
+            print(f"step {step}: loss {loss:.4f} ({time.time()-t0:.0f}s)",
+                  flush=True)
+            if step % SAVE_EVERY == 0:
+                save_superpoint_weights(cand, params)
 
-    model, params, info = train_superpoint(cfg, callback=checkpoint)
-    save_superpoint_weights(cand, params)
-    train_s = time.time() - t0
-    print(f"trained {N_STEPS} steps in {train_s:.0f}s, "
-          f"final loss {info['history'][-1][1]:.4f}", flush=True)
+        model, params, info = train_superpoint(cfg, callback=checkpoint)
+        save_superpoint_weights(cand, params)
+        train_s = time.time() - t0
+        print(f"trained {N_STEPS} steps in {train_s:.0f}s, "
+              f"final loss {info['history'][-1][1]:.4f}", flush=True)
 
     # ---- acceptance gate: held-out homography repeatability ----------------
     params = load_superpoint_weights(cand)  # round-trip through the store

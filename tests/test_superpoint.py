@@ -148,3 +148,34 @@ class TestTrainedSuperPoint:
         assert sum(n_sp) > 200  # it actually fires keypoints
         assert rep_sp >= 0.6
         assert rep_sp >= rep_h - 0.05
+
+
+class TestDefaultDetector:
+    def test_env_override_and_absence(self, tmp_path, monkeypatch):
+        """default_detector resolves the shipped checkpoint (or env
+        override) into a detect_and_describe-contract callable, mirroring
+        default_matcher's resolution (the --detector auto CLI path)."""
+        import jax
+
+        from pixtrack_tpu.mapping import default_detector
+        from pixtrack_tpu.mapping.superpoint import init_superpoint
+        from pixtrack_tpu.mapping.train_superpoint import (
+            save_superpoint_weights,
+        )
+
+        monkeypatch.setenv("PIXTRACK_SUPERPOINT_WEIGHTS",
+                           str(tmp_path / "missing.npz"))
+        assert default_detector() is None
+
+        _, params = init_superpoint(jax.random.PRNGKey(0))
+        save_superpoint_weights(tmp_path / "sp.npz", params)
+        monkeypatch.setenv("PIXTRACK_SUPERPOINT_WEIGHTS",
+                           str(tmp_path / "sp.npz"))
+        det = default_detector(max_keypoints=64)
+        assert det is not None and det.desc_dim == 256
+        img = (np.random.default_rng(0).uniform(0, 255, (96, 96, 3))
+               .astype(np.uint8))
+        # Harris-specific kwargs must be absorbed, not crash SuperPoint
+        kp, scores, desc = det(img, nms_radius=1)
+        assert kp.shape[1] == 2 and desc.shape[1] == 256
+        assert len(kp) == len(scores) == len(desc) <= 64
