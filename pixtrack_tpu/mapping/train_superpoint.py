@@ -417,3 +417,95 @@ def repeatability(
         rep.append(float((d.min(axis=1) <= tol_px).mean()))
         counts.append(int(inb.sum()))
     return float(np.mean(rep)), counts
+
+
+def mesh_repeatability(
+    params, n_scenes: int = 4, res: int = 192, max_keypoints: int = 512,
+    tol_px: float = 3.0, seed: int = 500, baseline_deg: float = 17.0,
+    detector: str = "superpoint",
+):
+    """Detector repeatability + density on the DEPLOYMENT distribution:
+    textured mesh renders under real viewpoint change, correspondences
+    verified through the GT depth buffer (not synthetic homographies).
+
+    Why this gate exists: the r3 grid=5 checkpoint scored 0.995 on the
+    synthetic homography gate yet fired only ~20 keypoints on textured
+    cube renders (Harris: ~270) and collapsed the 10-view arc
+    reconstruction to 1/10 registered images — keypoint DENSITY on
+    texture is invisible to a shapes-only gate. A checkpoint may only be
+    promoted to the production ``--detector auto`` slot when it passes
+    BOTH gates (scripts_dev/train_superpoint_run.py).
+
+    Returns ``(repeatability, counts)``: mean fraction of view-0
+    keypoints whose depth-reprojection lands within ``tol_px`` of a
+    view-1 keypoint (over co-visible keypoints), and the per-pair fired
+    keypoint counts in view 0.
+    """
+    import tempfile
+    from pathlib import Path
+
+    from pixtrack_tpu.geometry import Camera
+    from pixtrack_tpu.mapping.detector import detect_keypoints
+    from pixtrack_tpu.mapping.mesh_render import render_mesh
+    from pixtrack_tpu.mapping.superpoint import extract_superpoint
+    from pixtrack_tpu.mapping.train_matcher import (
+        _look_at_w2c,
+        _random_cube_mesh,
+    )
+
+    camera = Camera.pinhole(res * 1.1, res * 1.1, (res - 1) / 2,
+                            (res - 1) / 2, res, res)
+    fx = fy = res * 1.1
+    cx = cy = (res - 1) / 2
+    rng = np.random.default_rng(seed)
+    rep, counts = [], []
+    with tempfile.TemporaryDirectory() as td:
+        for sc in range(n_scenes):
+            mesh = _random_cube_mesh(Path(td), seed + sc)
+            views = []
+            for i in range(2):
+                ang = np.deg2rad(baseline_deg) * i + rng.uniform(-0.03, 0.03)
+                el = 0.35 + 0.1 * i
+                center = 0.9 * np.array(
+                    [np.sin(ang) * np.cos(el), np.sin(el),
+                     np.cos(ang) * np.cos(el)]
+                )
+                T = _look_at_w2c(jnp.asarray(center, jnp.float32), 0.0)
+                img, depth = render_mesh(mesh, T, camera, return_depth=True)
+                if detector == "superpoint":
+                    kp, _, _ = extract_superpoint(params, img, max_keypoints)
+                else:
+                    kp, _ = detect_keypoints(img, max_keypoints=max_keypoints)
+                views.append((T, np.asarray(kp), np.asarray(depth)))
+            (T0, kp0, dep0), (T1, kp1, dep1) = views
+            counts.append(len(kp0))
+            if len(kp0) == 0 or len(kp1) == 0:
+                rep.append(0.0)
+                continue
+            # backproject view-0 keypoints through the depth buffer
+            xi = np.clip(np.round(kp0[:, 0]).astype(int), 0, res - 1)
+            yi = np.clip(np.round(kp0[:, 1]).astype(int), 0, res - 1)
+            z = dep0[yi, xi]
+            has_depth = z > 0
+            Xc = np.stack(
+                [(kp0[:, 0] - cx) / fx * z, (kp0[:, 1] - cy) / fy * z, z], -1
+            )
+            R0, t0 = np.asarray(T0.R), np.asarray(T0.t)
+            Xw = (Xc - t0) @ R0
+            uv, vis = camera.world2image(T1, jnp.asarray(Xw, jnp.float32))
+            uv, vis = np.asarray(uv), np.asarray(vis) & has_depth
+            # occlusion check against view-1's depth buffer
+            R1, t1 = np.asarray(T1.R), np.asarray(T1.t)
+            zc1 = (Xw @ R1.T + t1)[:, 2]
+            xj = np.clip(np.round(uv[:, 0]).astype(int), 0, res - 1)
+            yj = np.clip(np.round(uv[:, 1]).astype(int), 0, res - 1)
+            zb1 = dep1[yj, xj]
+            vis &= (zb1 > 0) & (np.abs(zb1 - zc1) < 0.03 * np.abs(zc1))
+            if vis.sum() == 0:
+                rep.append(0.0)
+                continue
+            d = np.linalg.norm(
+                uv[vis][:, None, :] - kp1[None, :, :], axis=-1
+            )
+            rep.append(float((d.min(axis=1) <= tol_px).mean()))
+    return float(np.mean(rep)), counts

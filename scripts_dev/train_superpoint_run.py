@@ -38,6 +38,7 @@ def main():
     from pixtrack_tpu.mapping.train_superpoint import (
         SPTrainConfig,
         load_superpoint_weights,
+        mesh_repeatability,
         repeatability,
         save_superpoint_weights,
         train_superpoint,
@@ -75,23 +76,40 @@ def main():
         print(f"trained {N_STEPS} steps in {train_s:.0f}s, "
               f"final loss {info['history'][-1][1]:.4f}", flush=True)
 
-    # ---- acceptance gate: held-out homography repeatability ----------------
+    # ---- acceptance gates -------------------------------------------------
+    # 1. held-out homography repeatability on synthetic shape scenes;
+    # 2. DEPLOYMENT gate: repeatability + keypoint density on textured mesh
+    #    renders under real viewpoint change. Gate 2 exists because the r3
+    #    grid=5 checkpoint passed gate 1 at 0.995 yet fired ~20 keypoints on
+    #    textured renders (Harris ~270) and collapsed the 10-view arc to
+    #    1/10 registered images — density on texture is invisible to gate 1.
     params = load_superpoint_weights(cand)  # round-trip through the store
     rep_sp, n_sp = repeatability(params, detector="superpoint")
     rep_h, _ = repeatability(None, detector="harris")
     fires = int(sum(n_sp))
-    accepted = bool(fires > 200 and rep_sp >= 0.6 and rep_sp >= rep_h - 0.05)
+    gate_syn = bool(fires > 200 and rep_sp >= 0.6 and rep_sp >= rep_h - 0.05)
+    mrep_sp, mn_sp = mesh_repeatability(params, detector="superpoint")
+    mrep_h, mn_h = mesh_repeatability(None, detector="harris")
+    mfire = float(np.median(mn_sp))
+    gate_mesh = bool(
+        mrep_sp >= mrep_h - 0.05 and mfire >= 0.5 * float(np.median(mn_h))
+    )
+    print(f"mesh gate: sp rep {mrep_sp:.3f} ({mn_sp}) vs harris "
+          f"{mrep_h:.3f} ({mn_h}) -> {gate_mesh}", flush=True)
+    accepted = gate_syn and gate_mesh
     # never replace a better incumbent with a worse-but-passing candidate
+    # (compared on the deployment gate — the binding one)
     incumbent_rep = None
     if accepted and promoted.exists():
         inc = load_superpoint_weights(promoted)
-        incumbent_rep, _ = repeatability(inc, detector="superpoint")
-        accepted = rep_sp >= incumbent_rep
-        print(f"incumbent repeatability {incumbent_rep:.3f} -> "
+        incumbent_rep, _ = mesh_repeatability(inc, detector="superpoint")
+        accepted = mrep_sp >= incumbent_rep
+        print(f"incumbent mesh repeatability {incumbent_rep:.3f} -> "
               f"candidate {'replaces' if accepted else 'loses to'} it",
               flush=True)
     print(f"repeatability: superpoint {rep_sp:.3f} ({fires} kps) "
-          f"vs harris {rep_h:.3f} -> accepted={accepted}", flush=True)
+          f"vs harris {rep_h:.3f}; gates syn={gate_syn} mesh={gate_mesh} "
+          f"-> accepted={accepted}", flush=True)
 
     out = {
         "steps": N_STEPS,
@@ -100,11 +118,15 @@ def main():
         "repeatability_superpoint": round(float(rep_sp), 3),
         "repeatability_harris": round(float(rep_h), 3),
         "keypoints_fired": fires,
+        "mesh_repeatability_superpoint": round(float(mrep_sp), 3),
+        "mesh_repeatability_harris": round(float(mrep_h), 3),
+        "mesh_keypoints_fired_median": mfire,
+        "mesh_keypoints_harris_median": float(np.median(mn_h)),
         "accepted": accepted,
         "weights_sha256": sha256(cand),
     }
     if incumbent_rep is not None:
-        out["incumbent_repeatability"] = round(float(incumbent_rep), 3)
+        out["incumbent_mesh_repeatability"] = round(float(incumbent_rep), 3)
     # rejected runs record to the candidate file; only an accepted run may
     # write the promoted eval record, paired with the promoted weights
     eval_path = REPO / "assets" / (

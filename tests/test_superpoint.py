@@ -149,6 +149,28 @@ class TestTrainedSuperPoint:
         assert rep_sp >= 0.6
         assert rep_sp >= rep_h - 0.05
 
+    def test_mesh_deployment_gate(self):
+        """A PROMOTED checkpoint must also hold up on the deployment
+        distribution — textured mesh renders under viewpoint change — in
+        both density and repeatability. The r3 grid=5 candidate passed the
+        synthetic gate at 0.995 yet fired ~7 keypoints on renders (Harris
+        ~96) and collapsed the 10-view arc to 1/10 registered images; this
+        gate blocks that failure mode (train_superpoint.mesh_repeatability)."""
+        import numpy as np
+
+        from pixtrack_tpu.mapping.train_superpoint import (
+            load_superpoint_weights,
+            mesh_repeatability,
+        )
+
+        params = load_superpoint_weights(WEIGHTS)
+        rep_sp, n_sp = mesh_repeatability(params, detector="superpoint")
+        rep_h, n_h = mesh_repeatability(None, detector="harris")
+        print(f"mesh repeatability: superpoint {rep_sp:.2f} ({n_sp}) "
+              f"vs harris {rep_h:.2f} ({n_h})")
+        assert rep_sp >= rep_h - 0.05
+        assert np.median(n_sp) >= 0.5 * np.median(n_h)
+
 
 class TestDefaultDetector:
     def test_env_override_and_absence(self, tmp_path, monkeypatch):
