@@ -58,6 +58,10 @@ class SPTrainConfig:
     lambda_desc: float = 1.0    # hinge loss is already mean-normalized
     margin_pos: float = 1.0
     margin_neg: float = 0.2
+    # textured-render label-bank mixing (homographic adaptation): how many
+    # bank crops join each batch alongside the `batch` synthetic scenes.
+    # 0 = pure MagicPoint (the r3 texture-blind failure mode).
+    bank_batch: int = 8
     log_every: int = 50
     seed: int = 0
 
@@ -289,10 +293,163 @@ def make_batch(key, cfg: SPTrainConfig):
     return jax.vmap(one)(jax.random.split(key, cfg.batch))
 
 
+def build_texture_label_bank(
+    n_scenes: int = 32, res: int = 160, n_views: int = 6, n_warps: int = 12,
+    max_keypoints: int = 160, vote_frac: float = 0.5, max_warp: float = 0.12,
+    nms_radius: int = 4, seed: int = 0, verbose: bool = False,
+):
+    """Homographic-adaptation labels on the DEPLOYMENT distribution.
+
+    The MagicPoint stage trains on synthetic shapes with exact corner GT,
+    but a detector trained only there is texture-blind (the r3 retraction:
+    0.995 synthetic repeatability, ~7 keypoints on textured renders). This
+    builds the SuperPoint stage-2 corpus: textured mesh renders
+    (train_matcher._random_cube_mesh — the same procedural scenes the
+    matcher bank and the SfM test rigs use) self-labeled by aggregating a
+    base detector (the production multi-scale Harris) over ``n_warps``
+    random homographies. A pixel becomes a label only when detections from
+    ≥ ``vote_frac`` of the warps land within 2 px of it — cross-warp
+    STABILITY is the label, so the trained head learns Harris's texture
+    response minus its flicker.
+
+    Returns dict: images (N, res, res) f32 grayscale in [0, 1],
+    keypoints (N, K, 2) f32 xy, valid (N, K) bool.
+    """
+    import tempfile
+    from pathlib import Path
+
+    from pixtrack_tpu.geometry import Camera
+    from pixtrack_tpu.mapping.detector import detect_keypoints
+    from pixtrack_tpu.mapping.mesh_render import render_mesh
+    from pixtrack_tpu.mapping.train_matcher import (
+        _look_at_w2c,
+        _random_cube_mesh,
+    )
+
+    camera = Camera.pinhole(res * 1.1, res * 1.1, (res - 1) / 2,
+                            (res - 1) / 2, res, res)
+    rng = np.random.default_rng(seed)
+    images, kps, valids = [], [], []
+    n_votes = n_warps + 1  # the unwarped image votes too
+    with tempfile.TemporaryDirectory() as td:
+        for sc in range(n_scenes):
+            mesh = _random_cube_mesh(Path(td), seed * 1000 + sc)
+            for v in range(n_views):
+                ang = 2 * np.pi * v / n_views + rng.uniform(-0.05, 0.05)
+                el = rng.uniform(0.15, 0.55)
+                center = 0.9 * np.array(
+                    [np.sin(ang) * np.cos(el), np.sin(el),
+                     np.cos(ang) * np.cos(el)]
+                )
+                T = _look_at_w2c(jnp.asarray(center, jnp.float32),
+                                 rng.uniform(-0.3, 0.3))
+                img = render_mesh(mesh, T, camera)
+                gray = (
+                    np.asarray(img, np.float32) @ np.asarray(
+                        [0.299, 0.587, 0.114], np.float32)
+                ) / 255.0
+                gray_j = jnp.asarray(gray)
+
+                votes = np.zeros((res, res), np.float32)
+                for w in range(n_votes):
+                    if w == 0:
+                        view, H = gray, None
+                    else:
+                        H = random_homography(
+                            jax.random.PRNGKey(seed * 7919 + sc * 101
+                                               + v * 13 + w),
+                            res, max_warp,
+                        )
+                        view = np.asarray(warp_image(gray_j, H))
+                    kp, _ = detect_keypoints(
+                        (view * 255).astype(np.uint8),
+                        max_keypoints=max_keypoints * 2,
+                    )
+                    kp = np.asarray(kp, np.float32)
+                    if len(kp) == 0:
+                        continue
+                    if H is not None:
+                        kp = np.asarray(apply_homography(
+                            jnp.linalg.inv(H), jnp.asarray(kp)))
+                    xi = np.round(kp[:, 0]).astype(int)
+                    yi = np.round(kp[:, 1]).astype(int)
+                    inb = (xi >= 0) & (xi < res) & (yi >= 0) & (yi < res)
+                    votes[yi[inb], xi[inb]] += 1.0
+                # 2 px cluster tolerance: 5x5 box-sum, then 1-px NMS
+                import scipy.ndimage as ndi
+
+                acc = ndi.uniform_filter(votes, size=5) * 25.0
+                local_max = acc == ndi.maximum_filter(
+                    acc, size=2 * nms_radius + 1)
+                stable = local_max & (acc >= vote_frac * n_votes)
+                ys, xs = np.nonzero(stable)
+                order = np.argsort(-acc[ys, xs])[:max_keypoints]
+                k = np.stack([xs[order], ys[order]], axis=-1).astype(
+                    np.float32)
+                pad = np.zeros((max_keypoints, 2), np.float32)
+                val = np.zeros(max_keypoints, bool)
+                pad[: len(k)] = k
+                val[: len(k)] = True
+                images.append(gray)
+                kps.append(pad)
+                valids.append(val)
+            if verbose:
+                print(f"bank scene {sc + 1}/{n_scenes}: "
+                      f"{int(valids[-1].sum())} stable labels in last view",
+                      flush=True)
+    return {
+        "images": np.stack(images),
+        "keypoints": np.stack(kps),
+        "valid": np.stack(valids),
+    }
+
+
+def make_bank_batch(key, cfg: SPTrainConfig, images, keypoints, valid):
+    """Batch of (img0, img1, labels0, labels1, H) drawn from a texture
+    label bank: random crop to ``cfg.size``, photometric jitter, random
+    homography second view — same tuple format as ``make_batch`` so both
+    sources concatenate into one train step."""
+    images = jnp.asarray(images, jnp.float32)
+    keypoints = jnp.asarray(keypoints, jnp.float32)
+    valid = jnp.asarray(valid)
+    N, R, _ = images.shape
+    S = cfg.size
+
+    def one(k):
+        k_i, k_c, k_b, k_n, k_h = jax.random.split(k, 5)
+        idx = jax.random.randint(k_i, (), 0, N)
+        img_full = images[idx]
+        kp = keypoints[idx]
+        kv = valid[idx]
+        off = jax.random.randint(k_c, (2,), 0, R - S + 1)  # (x0, y0)
+        img0 = jax.lax.dynamic_slice(img_full, (off[1], off[0]), (S, S))
+        kp = kp - off[None, :].astype(jnp.float32)
+        kv = (
+            kv & (kp[:, 0] >= 0) & (kp[:, 0] <= S - 1)
+            & (kp[:, 1] >= 0) & (kp[:, 1] <= S - 1)
+        )
+        # photometric jitter: contrast/brightness/noise
+        k_g, k_o = jax.random.split(k_b)
+        gain = jax.random.uniform(k_g, (), minval=0.7, maxval=1.3)
+        bias = jax.random.uniform(k_o, (), minval=-0.15, maxval=0.15)
+        img0 = jnp.clip(img0 * gain + bias, 0.0, 1.0)
+        img0 = jnp.clip(
+            img0 + cfg.noise * jax.random.normal(k_n, (S, S)), 0.0, 1.0
+        )
+        H = random_homography(k_h, S, cfg.max_warp)
+        img1 = warp_image(img0, H)
+        lab0 = cell_labels(kp, kv, S)
+        lab1 = cell_labels(apply_homography(H, kp), kv, S)
+        return img0, img1, lab0, lab1, H
+
+    return jax.vmap(one)(jax.random.split(key, cfg.bank_batch))
+
+
 def train_superpoint(
     cfg: SPTrainConfig = SPTrainConfig(),
     params: Optional[dict] = None,
     callback=None,
+    bank: Optional[dict] = None,
 ):
     model, init_params = init_superpoint(
         jax.random.PRNGKey(cfg.seed), cfg.size, cfg.size
@@ -303,10 +460,25 @@ def train_superpoint(
     optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(cfg.lr))
     opt_state = optimizer.init(params)
 
+    if bank is not None and cfg.bank_batch > 0:
+        bank_dev = (
+            jnp.asarray(bank["images"], jnp.float32),
+            jnp.asarray(bank["keypoints"], jnp.float32),
+            jnp.asarray(bank["valid"]),
+        )
+    else:
+        bank_dev = None
+
     @jax.jit
     def step(params, opt_state, key):
-        k_data, k_next = jax.random.split(key)
-        img0, img1, lab0, lab1, H = make_batch(k_data, cfg)
+        k_data, k_bank, k_next = jax.random.split(key, 3)
+        batch = make_batch(k_data, cfg)
+        if bank_dev is not None:
+            bb = make_bank_batch(k_bank, cfg, *bank_dev)
+            batch = tuple(
+                jnp.concatenate([a, b], axis=0) for a, b in zip(batch, bb)
+            )
+        img0, img1, lab0, lab1, H = batch
 
         def loss_fn(p):
             det0, desc0 = model.apply(p, img0[..., None])

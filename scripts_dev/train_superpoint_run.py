@@ -26,6 +26,11 @@ sys.path.insert(0, str(REPO))
 
 N_STEPS = int(os.environ.get("SP_STEPS", "3000"))
 SAVE_EVERY = 250
+# texture label bank (homographic adaptation on mesh renders — the fix for
+# the r3 texture-blind retraction). SP_BANK: npz path; built+saved if
+# missing (build it in a CPU process: PYTHONPATH=/root/repo
+# JAX_PLATFORMS=cpu SP_BANK=... SP_BANK_ONLY=1 python this_script).
+BANK_PATH = os.environ.get("SP_BANK", "/tmp/sp_texture_bank.npz")
 
 
 def sha256(path: Path) -> str:
@@ -37,6 +42,7 @@ def main():
 
     from pixtrack_tpu.mapping.train_superpoint import (
         SPTrainConfig,
+        build_texture_label_bank,
         load_superpoint_weights,
         mesh_repeatability,
         repeatability,
@@ -48,6 +54,21 @@ def main():
     t0 = time.time()
     cand = REPO / "assets" / "superpoint_candidate.npz"
     promoted = REPO / "assets" / "superpoint.npz"
+
+    bank_path = Path(BANK_PATH)
+    if not bank_path.exists():
+        print(f"building texture label bank -> {bank_path}", flush=True)
+        bank = build_texture_label_bank(verbose=True)
+        np.savez(bank_path, **bank)
+        print(f"bank built in {time.time()-t0:.0f}s: "
+              f"{bank['images'].shape[0]} images", flush=True)
+    else:
+        data = np.load(bank_path)
+        bank = {k: data[k] for k in ("images", "keypoints", "valid")}
+        print(f"loaded bank {bank_path}: {bank['images'].shape[0]} images",
+              flush=True)
+    if os.environ.get("SP_BANK_ONLY") == "1":
+        return
 
     if os.environ.get("SP_REGATE") == "1":
         # gate an existing candidate (e.g. after an eval-protocol fix)
@@ -70,7 +91,9 @@ def main():
             if step % SAVE_EVERY == 0:
                 save_superpoint_weights(cand, params)
 
-        model, params, info = train_superpoint(cfg, callback=checkpoint)
+        model, params, info = train_superpoint(
+            cfg, callback=checkpoint, bank=bank
+        )
         save_superpoint_weights(cand, params)
         train_s = time.time() - t0
         print(f"trained {N_STEPS} steps in {train_s:.0f}s, "
