@@ -84,6 +84,8 @@ class Testbed:
         self._render_cache = {}
         self.n_coarse = 64
         self.n_fine = 32
+        # optional occupied-bounds ball (tighten_render_bounds): (4,) numpy
+        self._sphere = None
 
     # -- snapshot ------------------------------------------------------------
     def load_snapshot(self, path, bake: bool = True) -> None:
@@ -135,6 +137,32 @@ class Testbed:
                                config=config or DistillConfig())
         self._render_cache.clear()
 
+    def tighten_render_bounds(
+        self, res: int = 96, sigma_threshold: float = 0.01
+    ) -> None:
+        """Shrink render_aabb to the field's occupied box and install the
+        occupied bounding ball for per-ray interval tightening (one-time
+        res^3 density sweep; see nerf.render.occupied_bounds). Rendering
+        output is unchanged — the dropped interval is below the density
+        threshold — but the fixed sample budget concentrates on the object,
+        so the same quality needs ~2x fewer samples (ablation r4)."""
+        from pixtrack_tpu.nerf.render import occupied_bounds
+
+        fld = self._baked if self._baked is not None else self.field
+        prm = None if self._baked is not None else self.params
+        if fld is None:
+            raise RuntimeError("no snapshot loaded")
+        aabb = np.asarray(
+            [self.render_aabb.min, self.render_aabb.max], np.float32
+        )
+        tight, sphere = occupied_bounds(
+            fld, prm, aabb, res=res, sigma_threshold=sigma_threshold
+        )
+        self.render_aabb.min = [float(v) for v in tight[0]]
+        self.render_aabb.max = [float(v) for v in tight[1]]
+        self._sphere = sphere
+        self._render_cache.clear()
+
     # -- camera --------------------------------------------------------------
     @property
     def fov(self) -> float:
@@ -167,6 +195,7 @@ class Testbed:
         key = (width, height, spp, self.n_coarse, self.n_fine,
                float(self.nerf.rendering_min_transmittance),
                tuple(self.render_aabb.min), tuple(self.render_aabb.max),
+               None if self._sphere is None else tuple(self._sphere.tolist()),
                None if self.override_intrinsics is None
                else tuple(float(v) for v in self.override_intrinsics))
         if key not in self._render_cache:
@@ -183,6 +212,10 @@ class Testbed:
             snap = self.snap_to_pixel_centers
             baked = self._baked is not None
             static_field = self.field  # Flax module: static, closure-safe
+            sphere = (
+                None if self._sphere is None
+                else jnp.asarray(self._sphere, jnp.float32)
+            )
 
             # The field weights enter as a JIT ARGUMENT: the baked pytree
             # (cell tables would otherwise be embedded as 100s-of-MB
@@ -198,6 +231,7 @@ class Testbed:
                         aabb, cfg, background=(bg[0], bg[1], bg[2]),
                         key=k if spp > 1 else None,
                         snap_to_pixel_centers=snap,
+                        sphere=sphere,
                     )
 
                 if spp > 1:

@@ -137,6 +137,12 @@ class FusedSteadyStep:
         self.aabb = jnp.asarray(
             [tb.render_aabb.min, tb.render_aabb.max], jnp.float32
         )
+        # occupied-bounds ball (Testbed.tighten_render_bounds): per-ray
+        # interval tightening at zero gather cost
+        self.sphere = (
+            None if getattr(tb, "_sphere", None) is None
+            else jnp.asarray(tb._sphere, jnp.float32)
+        )
         # --- crop window for the reference render (static size, dynamic
         # position). Rays outside the object silhouette composite to
         # alpha ~ 0 and are then thresholded to black (render_bridge.py:58-61)
@@ -236,7 +242,9 @@ class FusedSteadyStep:
         )
         fld = field_arg if self._field_is_baked else self._static_field
         prm = None if self._field_is_baked else field_arg
-        out = render_rays(fld, prm, o, d, self.aabb, self.render_cfg)
+        out = render_rays(
+            fld, prm, o, d, self.aabb, self.render_cfg, sphere=self.sphere
+        )
         # match render_nerf_view exactly: white background composited into
         # the object interior, alpha-thresholded to black outside (the
         # production reference-feature input, render_bridge.py:58-61)

@@ -22,3 +22,44 @@ def test_fused_matches_plain():
     assert s1.shape == (n,) and c1.shape == (3, n)
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=2e-3)
     np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), atol=5e-3)
+
+
+def test_march_matches_staged_render():
+    """The whole-ray march kernel must reproduce the staged render path
+    (stratified midpoint samples + _composite) including miss rays and the
+    min-transmittance cutoff."""
+    from pixtrack_tpu.nerf.fused_mlp import fused_march_render
+    from pixtrack_tpu.nerf.render import (
+        RenderConfig,
+        _to_grid,
+        ray_aabb_intersect,
+        render_rays,
+    )
+
+    f = init_distilled(jax.random.PRNGKey(3))
+    aabb = jnp.asarray([[0.25] * 3, [0.75] * 3])
+    rng = np.random.default_rng(1)
+    R = 96
+    o = rng.normal(size=(R, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=1, keepdims=True) * 1.6
+    d = -o + 0.3 * rng.normal(size=(R, 3)).astype(np.float32)
+    d[-8:] = -d[-8:]  # guaranteed miss rays (point away from the object)
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    o_j, d_j = jnp.asarray(o), jnp.asarray(d)
+
+    cfg = RenderConfig(n_coarse=6, n_fine=0, perturb=False, fused=False)
+    ref = render_rays(f, None, o_j, d_j, aabb, cfg)
+
+    o_g, d_g = _to_grid(o_j, d_j)
+    t_near, t_far, hit = ray_aabb_intersect(o_g, d_g, aabb[0], aabb[1])
+    t_far = jnp.maximum(t_far, t_near + 1e-4)
+    out = fused_march_render(
+        f, o_g, d_g, t_near, jnp.where(hit, t_far, t_near),
+        6, cfg.min_transmittance, interpret=True,
+    )
+    assert int(np.asarray(hit).sum()) < R  # the miss rays actually miss
+    for k in ("rgb", "alpha", "depth"):
+        np.testing.assert_allclose(
+            np.asarray(ref[k]), np.asarray(out[k]), atol=5e-3,
+            err_msg=k,
+        )
