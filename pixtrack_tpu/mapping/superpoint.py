@@ -66,9 +66,15 @@ def dense_scores(det_logits: jax.Array) -> jax.Array:
 
 def extract_superpoint(
     params, image: np.ndarray, max_keypoints: int = 1024,
-    nms_radius: int = 4, threshold: float = 0.005,
+    nms_radius: int = 4, threshold: float = 0.005, subpixel: bool = True,
 ):
-    """Full SuperPoint extraction: returns (keypoints (N, 2), scores, desc)."""
+    """Full SuperPoint extraction: returns (keypoints (N, 2), scores, desc).
+
+    ``subpixel`` refines each peak by a quadratic fit of the raw dense
+    score map over its 3x3 neighborhood — the same refinement the
+    production Harris detector applies (mapping/detector.py); integer
+    keypoints leave ~0.5 px uniform localization noise, the dominant SfM
+    error source."""
     model = SuperPointNet()
     img = jnp.asarray(image)
     if img.dtype == jnp.uint8:
@@ -78,16 +84,37 @@ def extract_superpoint(
     H, W = img.shape
     H8, W8 = H - H % 8, W - W % 8
     det, desc = model.apply(params, img[None, :H8, :W8, None])
-    scores = dense_scores(det)[0]
+    scores_raw = dense_scores(det)[0]
     # NMS via max-pool
     pooled = jax.lax.reduce_window(
-        scores, -jnp.inf, jax.lax.max,
+        scores_raw, -jnp.inf, jax.lax.max,
         (2 * nms_radius + 1, 2 * nms_radius + 1), (1, 1), "SAME",
     )
-    scores = jnp.where(scores >= pooled, scores, 0.0)
+    scores = jnp.where(scores_raw >= pooled, scores_raw, 0.0)
     flat = scores.reshape(-1)
     vals, idx = jax.lax.top_k(flat, max_keypoints)
     kp = jnp.stack([idx % W8, idx // W8], axis=-1).astype(jnp.float32)
+    if subpixel:
+        raw = scores_raw.reshape(-1)
+
+        def at(dy, dx):
+            return raw[jnp.clip(idx + dy * W8 + dx, 0, H8 * W8 - 1)]
+
+        gx = 0.5 * (at(0, 1) - at(0, -1))
+        gy = 0.5 * (at(1, 0) - at(-1, 0))
+        hxx = at(0, 1) - 2.0 * at(0, 0) + at(0, -1)
+        hyy = at(1, 0) - 2.0 * at(0, 0) + at(-1, 0)
+        hxy = 0.25 * (at(1, 1) - at(1, -1) - at(-1, 1) + at(-1, -1))
+        den = hxx * hyy - hxy * hxy
+        safe = jnp.abs(den) > 1e-18
+        den = jnp.where(safe, den, 1.0)
+        dx = -(hyy * gx - hxy * gy) / den
+        dy = -(hxx * gy - hxy * gx) / den
+        ok = safe & (jnp.abs(dx) < 1.0) & (jnp.abs(dy) < 1.0)
+        off = jnp.stack(
+            [jnp.where(ok, dx, 0.0), jnp.where(ok, dy, 0.0)], axis=-1
+        )
+        kp = kp + jnp.clip(off, -0.6, 0.6)
     keep = np.asarray(vals > threshold)
     kp = np.asarray(kp)[keep]
     vals = np.asarray(vals)[keep]
