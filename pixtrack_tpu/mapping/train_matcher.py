@@ -280,6 +280,8 @@ def build_mesh_pair_bank(
     gt_radius_px: float = 2.0,
     seed: int = 0,
     verbose: bool = False,
+    rich_textures: bool = False,
+    detector=None,
 ):
     """Precompute a training bank of real detected keypoints + descriptors
     + depth-verified GT assignments over wide-baseline mesh-render pairs.
@@ -290,11 +292,21 @@ def build_mesh_pair_bank(
     static-shape arrays: desc0/1 (P, K, D) f32, kpn0/1 (P, K, 2) in
     [-1, 1], valid0/1 (P, K) bool, gt (P, K) int32 (-1 = unmatched),
     angle_deg (P,).
+
+    ``rich_textures``: draw each cube face from the diverse family mix
+    (mapping/textures.py) instead of the legacy blurred-noise family the
+    r2 bank overfit. ``detector``: optional override with the
+    detect_and_describe contract (e.g. mapping.default_detector() to bank
+    learned-descriptor pairs).
     """
     import pathlib
 
     from pixtrack_tpu.mapping.detector import detect_and_describe
     from pixtrack_tpu.mapping.mesh_render import render_mesh
+    from pixtrack_tpu.mapping.textures import rich_cube_mesh
+
+    if detector is None:
+        detector = detect_and_describe
 
     workdir = pathlib.Path(workdir)
     rng = np.random.default_rng(seed)
@@ -307,7 +319,8 @@ def build_mesh_pair_bank(
     P_v0, P_v1, P_gt, P_ang = [], [], [], []
     D = None
     for sc in range(n_scenes):
-        mesh = _random_cube_mesh(workdir, seed * 100 + sc)
+        mesh = (rich_cube_mesh(workdir, seed * 100 + sc) if rich_textures
+                else _random_cube_mesh(workdir, seed * 100 + sc))
         views = []
         for i in range(n_views):
             ang = 2 * np.pi * i / n_views + rng.uniform(-0.04, 0.04)
@@ -318,7 +331,7 @@ def build_mesh_pair_bank(
             T = _look_at_w2c(jnp.asarray(center, jnp.float32),
                              rng.uniform(-0.3, 0.3))
             img, depth = render_mesh(mesh, T, camera, return_depth=True)
-            kp, _, desc = detect_and_describe(
+            kp, _, desc = detector(
                 img, max_keypoints=max_kp, nms_radius=nms_radius
             )
             views.append((T, np.asarray(kp), np.asarray(desc), depth))

@@ -34,9 +34,23 @@ def main():
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--min-deg", type=float, default=8.0)
     ap.add_argument("--max-deg", type=float, default=52.0)
+    ap.add_argument("--rich", action="store_true",
+                    help="diverse texture families (mapping/textures.py) "
+                         "instead of the legacy blurred-noise family")
+    ap.add_argument("--detector", choices=["harris", "superpoint"],
+                    default="harris",
+                    help="bank descriptors from the given detector "
+                         "(superpoint requires assets/superpoint.npz)")
     args = ap.parse_args()
 
     from pixtrack_tpu.mapping.train_matcher import build_mesh_pair_bank
+
+    detector = None
+    if args.detector == "superpoint":
+        from pixtrack_tpu.mapping import default_detector
+
+        detector = default_detector()
+        assert detector is not None, "no assets/superpoint.npz shipped"
 
     t0 = time.time()
     with tempfile.TemporaryDirectory() as td:
@@ -50,6 +64,8 @@ def main():
             max_deg=args.max_deg,
             seed=args.seed,
             verbose=True,
+            rich_textures=args.rich,
+            detector=detector,
         )
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
