@@ -60,6 +60,45 @@ def match_descriptors(
     return matches0, scores0
 
 
+def match_descriptors_gated(
+    desc0: np.ndarray,
+    desc1: np.ndarray,
+    gate0: np.ndarray,
+    gate1: np.ndarray,
+    gate_threshold: float = 0.5,
+    min_score: float = 0.6,
+    ratio: float = 0.95,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Two-stage matching: coarse-gate candidates by a context descriptor,
+    then mutual-NN + ratio on the fine descriptor among survivors.
+
+    ``gate0/1`` are L2-normalized coarse descriptors (e.g. the SuperPoint
+    dense head, mapping/superpoint.py::describe_at): viewpoint-invariant at
+    1/8 resolution but locally smooth, so they cannot rank keypoints within
+    a cell — ADDING them to the fine similarity corrupts the ratio test
+    (measured: combined-concat 0.449 precision vs patch 0.565 on the
+    held-out mesh bank). As a hard candidate VETO they only remove
+    cross-face aliases, the patch descriptor's dominant failure mode, and
+    leave local ranking to the locally-sharp patch descriptor."""
+    if len(desc0) == 0 or len(desc1) == 0:
+        return np.full(len(desc0), -1, np.int32), np.zeros(len(desc0), np.float32)
+    sim_g = np.asarray(gate0, np.float32) @ np.asarray(gate1, np.float32).T
+    sim_p = np.asarray(desc0, np.float32) @ np.asarray(desc1, np.float32).T
+    sim = np.where(sim_g >= gate_threshold, sim_p, -1.0)
+    best1 = sim.argmax(1)
+    s_best = sim.max(1)
+    masked = sim.copy()
+    masked[np.arange(len(sim)), best1] = -np.inf
+    s_second = masked.max(1)
+    mutual = sim.argmax(0)[best1] == np.arange(len(desc0))
+    d_best = np.sqrt(np.maximum(2.0 - 2.0 * s_best, 0.0))
+    d_second = np.sqrt(np.maximum(2.0 - 2.0 * s_second, 1e-12))
+    ok = mutual & (s_best >= min_score) & (d_best < ratio * d_second)
+    matches0 = np.where(ok, best1, -1).astype(np.int32)
+    scores0 = np.where(ok, s_best, 0.0).astype(np.float32)
+    return matches0, scores0
+
+
 def exhaustive_pairs(names: Sequence[str]) -> List[Tuple[str, str]]:
     """All unordered pairs (hloc pairs_from_exhaustive role)."""
     return list(itertools.combinations(names, 2))

@@ -129,6 +129,32 @@ def extract_superpoint(
     return kp, vals, d
 
 
+def describe_at(params, image: np.ndarray, kp: np.ndarray) -> np.ndarray:
+    """Sample the SuperPoint descriptor map at GIVEN keypoints (N, 2) xy.
+
+    Decoupled description: the net's dense 256-d descriptor head (trained on
+    true 3D correspondences, train_superpoint_dense.py) evaluated at any
+    detector's keypoints — in production, the multi-scale Harris detector,
+    which beats every trained detector head on mesh-render repeatability
+    (assets/superpoint_candidate_eval.json: 0.604 vs 0.253/0.33)."""
+    from pixtrack_tpu.align.interpolate import interpolate_features
+
+    model = SuperPointNet()
+    img = jnp.asarray(image)
+    if img.dtype == jnp.uint8:
+        img = img.astype(jnp.float32) / 255.0
+    if img.ndim == 3:
+        img = img @ jnp.asarray([0.299, 0.587, 0.114])
+    H, W = img.shape
+    H8, W8 = H - H % 8, W - W % 8
+    _, desc = model.apply(params, img[None, :H8, :W8, None])
+    d, _, _ = interpolate_features(
+        desc[0], jnp.asarray(kp, jnp.float32) / 8.0 - 0.5, compute_grad=False
+    )
+    d = np.asarray(d)
+    return d / np.linalg.norm(d, axis=1, keepdims=True).clip(1e-8)
+
+
 def init_superpoint(rng_key, height: int = 64, width: int = 64):
     model = SuperPointNet()
     params = model.init(rng_key, jnp.zeros((1, height, width, 1)))

@@ -90,6 +90,38 @@ class TestMatcher:
         m0, s0 = match_descriptors(d0, d1)
         assert (m0 >= 0).sum() > 12, f"only {(m0 >= 0).sum()} matches"
 
+    def test_gated_matching_vetoes_aliases(self):
+        """match_descriptors_gated must reject a fine-descriptor alias whose
+        coarse gate disagrees, and keep the true pair (the cross-face-alias
+        veto, assets/negative/descriptor_ab_r4_eval.json protocol)."""
+        from pixtrack_tpu.mapping.matcher import match_descriptors_gated
+
+        rng = np.random.default_rng(0)
+        fine = rng.normal(size=(4, 16)).astype(np.float32)
+        fine /= np.linalg.norm(fine, axis=1, keepdims=True)
+        # view-1 keypoint 2 is a near-exact fine-descriptor alias of
+        # keypoint 0 (an EXACT tie slips the distance-ratio test through
+        # its 1e-12 epsilon floor — d_best = 0 passes any ratio)
+        f1 = fine.copy()
+        f1[0] = fine[0] + 0.02 * fine[2]   # true match, slightly off
+        f1[2] = fine[0] + 0.02 * fine[1]   # alias, equally close
+        f1 /= np.linalg.norm(f1, axis=1, keepdims=True)
+        coarse = np.eye(4, dtype=np.float32)  # distinct per keypoint
+        c1 = coarse.copy()
+        # without the gate, 0 -> {0, 2} is ambiguous: ratio test kills it
+        m_plain, _ = match_descriptors(fine, f1, ratio=0.95)
+        assert m_plain[0] == -1
+        # the gate vetoes the alias (coarse sim 0 < tau), rescuing the match
+        m_gated, _ = match_descriptors_gated(
+            fine, f1, coarse, c1, gate_threshold=0.5, ratio=0.95
+        )
+        assert m_gated[0] == 0
+        # and a keypoint whose ONLY candidate is gate-vetoed stays unmatched
+        m_cross, _ = match_descriptors_gated(
+            fine[:1], f1[2:3], coarse[:1], c1[1:2], gate_threshold=0.5
+        )
+        assert m_cross[0] == -1
+
     def test_epipolar_filter_keeps_true_matches(self, views):
         camera, poses, images = views
         kp0, _, d0 = detect_and_describe(images[0], max_keypoints=512, nms_radius=2)
