@@ -88,7 +88,17 @@ def main():
     extractor = default_extractor(resize=1024)
     extractor_name = type(extractor.model).__name__
     align_cfg = AlignConfig(num_iters=150)
-    aabb = jnp.asarray([[0.3] * 3, [0.7] * 3])
+    # occupied-bounds tightening (one-time setup, untimed): shrink the crop
+    # box to the field's occupied set and install the bounding ball for
+    # per-ray interval tightening — identical output, every sample lands on
+    # the object (nerf/render.py::occupied_bounds)
+    from pixtrack_tpu.nerf.render import occupied_bounds
+
+    aabb_np, sphere_np = occupied_bounds(
+        field, None, np.asarray([[0.3] * 3, [0.7] * 3], np.float32)
+    )
+    aabb = jnp.asarray(aabb_np)
+    sphere = jnp.asarray(sphere_np)
     # 48 samples through the 0.4-extent render aabb = one every ~0.008 grid
     # units: tracking evidence is unchanged vs 64 (1.03 vs 1.02 deg mean) at
     # ~25% less render work. n_fine=0: importance resampling adds nothing for
@@ -130,7 +140,7 @@ def main():
         origins, dirs = rays_from_camera(
             c2w, 300.0, 300.0, (rW - 1) / 2, (rH - 1) / 2, rW, rH
         )
-        out = render_rays(field, None, origins, dirs, aabb, rcfg)
+        out = render_rays(field, None, origins, dirs, aabb, rcfg, sphere=sphere)
         rgb = out["rgb"] + (1.0 - out["alpha"][:, None])  # white bg (r9)
         return rgb.reshape(rH, rW, 3)
 
@@ -146,7 +156,7 @@ def main():
         origins, dirs = rays_from_camera(
             c2w, 600.0, 600.0, (W - 1) / 2, (H - 1) / 2, W, H
         )
-        out = render_rays(field, None, origins, dirs, aabb, rcfg)
+        out = render_rays(field, None, origins, dirs, aabb, rcfg, sphere=sphere)
         rgb = out["rgb"] + (1.0 - out["alpha"][:, None])
         return rgb.reshape(H, W, 3)
 
@@ -260,6 +270,8 @@ def closed_loop(field, camera, rounds: int = 2) -> float:
     testbed.render_aabb.min = [0.3] * 3
     testbed.render_aabb.max = [0.7] * 3
     testbed.n_coarse, testbed.n_fine = 48, 0
+    # production setup step: occupied-bounds tightening (untimed, one-time)
+    testbed.tighten_render_bounds()
 
     scene = make_scene(camera, n_refs=12, n_points=4200)
     nerf2sfm = NerfTransform.identity()

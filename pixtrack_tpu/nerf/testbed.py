@@ -142,10 +142,14 @@ class Testbed:
     ) -> None:
         """Shrink render_aabb to the field's occupied box and install the
         occupied bounding ball for per-ray interval tightening (one-time
-        res^3 density sweep; see nerf.render.occupied_bounds). Rendering
-        output is unchanged — the dropped interval is below the density
-        threshold — but the fixed sample budget concentrates on the object,
-        so the same quality needs ~2x fewer samples (ablation r4)."""
+        res^3 density sweep; see nerf.render.occupied_bounds). The dropped
+        interval is below the density threshold, so image-level fidelity is
+        preserved while the fixed per-ray sample budget concentrates on the
+        object (tests/test_fused_mlp.py pins this on the bench field).
+        The sweep trusts the CURRENT render_aabb as the field's domain —
+        a distilled MLP extrapolates arbitrary density outside its trained
+        box, so this must not be called with a crop looser than the box the
+        field was trained in."""
         from pixtrack_tpu.nerf.render import occupied_bounds
 
         fld = self._baked if self._baked is not None else self.field
@@ -275,9 +279,16 @@ class Testbed:
         return rgba.astype(np.float32)
 
 
-def initialize_testbed(snapshot_path, aabb=None, background=None) -> Testbed:
+def initialize_testbed(snapshot_path, aabb=None, background=None,
+                       tighten: bool = False) -> Testbed:
     """First-party equivalent of the reference's initialize_ingp
-    (ingp_utils.py:22-44): same defaults, our Testbed."""
+    (ingp_utils.py:22-44): same defaults, our Testbed.
+
+    ``tighten``: run the one-time occupied-bounds sweep so render rays only
+    sample the object's occupied set (never changes output above the density
+    threshold; concentrates the sample budget — see tighten_render_bounds).
+    The production track path turns this on; it costs a res^3 density sweep
+    (~seconds), so it defaults off for cheap/offline construction."""
     if background is None:
         background = [255, 255, 255, 0.0]
     tb = Testbed(TestbedMode.Nerf)
@@ -293,4 +304,6 @@ def initialize_testbed(snapshot_path, aabb=None, background=None) -> Testbed:
         tb.render_aabb.min = list(aabb[0])
         tb.render_aabb.max = list(aabb[1])
     tb.exposure = 0.0
+    if tighten:
+        tb.tighten_render_bounds()
     return tb

@@ -76,7 +76,9 @@ def _cmd_track(args):
     scene = SceneModel.load(paths["aug_sfm"])
     tf = NerfTransform.load(paths["nerf2sfm"])
     aabb = obj_cfg.aabb or estimate_aabb_from_scene(scene, tf)
-    testbed = initialize_testbed(paths["snapshot"], aabb=aabb)
+    # tighten=True: one-time occupied-bounds sweep so every per-frame
+    # reference render concentrates its sample budget on the object
+    testbed = initialize_testbed(paths["snapshot"], aabb=aabb, tighten=True)
 
     tracker = PixTrackTracker(
         scene,
@@ -194,7 +196,7 @@ def _cmd_track_ycb(args):
     scene = SceneModel.load(paths["aug_sfm"])
     tf = NerfTransform.load(paths["nerf2sfm"])
     aabb = estimate_aabb_from_scene(scene, tf)
-    testbed = initialize_testbed(paths["snapshot"], aabb=aabb)
+    testbed = initialize_testbed(paths["snapshot"], aabb=aabb, tighten=True)
     run_cfg = RunConfig()
     video, frame_range = parse_frame_range(args.query, 10000)
     it = YCBVideoIterator(args.ycb_root, video, args.object_name, frame_range)
