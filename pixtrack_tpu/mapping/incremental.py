@@ -1180,6 +1180,56 @@ def incremental_sfm(
     # admits junk. Closure must come from a better init, not the gate.)
     global_ba(ba_iters=25)
     triangulate_ready(list(poses))
+
+    def cull_observations() -> int:
+        """Hard per-OBSERVATION outlier culling (COLMAP's filter step).
+
+        Robust BA only DOWN-weights a bad observation (a 6 px outlier at
+        robust_c=3 keeps ~20% weight) — wrong-but-epipolar-consistent
+        matches that survive verification keep biasing every pose. The
+        oracle error budget (assets/sfm_error_budget.json) measures that
+        surviving match mistakes cost ~1.7 deg global rotation on the arc
+        rig while the geometry stack itself is exact. Drop observations
+        whose reprojection error exceeds max(3 x median, 1.0 px), dissolve
+        tracks left with < 2 observations, and let the caller
+        re-triangulate + re-BA. Returns the number of culled observations."""
+        by_img: Dict[int, list] = {}
+        for tid, X in xyz_of_track.items():
+            for (im, k) in tracks[tid]:
+                if im in poses:
+                    by_img.setdefault(im, []).append((tid, k, X))
+        errs_l, locs = [], []
+        for im, obs in by_img.items():
+            X = jnp.asarray(np.stack([o[2] for o in obs]), jnp.float32)
+            uv, vis = camera.world2image(poses[im], X)
+            p2 = np.stack([kp_ic[im][o[1]] for o in obs])
+            e = np.linalg.norm(np.asarray(uv) - p2, axis=1)
+            e = np.where(np.asarray(vis), e, 1e6)
+            errs_l.append(e)
+            locs += [(tid, (im, k)) for (tid, k, _) in obs]
+        if not errs_l:
+            return 0
+        errs = np.concatenate(errs_l)
+        gate = max(3.0 * float(np.median(errs[errs < 1e5])), 1.0)
+        n_cull = 0
+        for e, (tid, obs) in zip(errs, locs):
+            if e > gate and obs in tracks[tid]:
+                tracks[tid] = [o for o in tracks[tid] if o != obs]
+                track_of_obs.pop(obs, None)
+                n_cull += 1
+        for tid in list(xyz_of_track):
+            if len([o for o in tracks[tid] if o[0] in poses]) < 2:
+                xyz_of_track.pop(tid, None)
+        return n_cull
+
+    for _ in range(2):
+        n = cull_observations()
+        if n == 0:
+            break
+        triangulate_ready(list(poses))
+        global_ba(ba_iters=15)
+        if verbose:
+            print(f"culled {n} observations; {len(xyz_of_track)} tracks live")
     for rid in list(poses):
         o3, o2 = [], []
         for k in range(len(kps[rid])):
@@ -1197,6 +1247,12 @@ def incremental_sfm(
     triangulate_ready(list(poses))
     global_ba(ba_iters=25)
     triangulate_ready(list(poses))
+    # one more cull round against the re-registered poses: re-registration
+    # moves poses enough to expose observations the first rounds' gate let
+    # through
+    if cull_observations() > 0:
+        triangulate_ready(list(poses))
+        global_ba(ba_iters=15)
     if verbose:
         print(f"final polish: {len(xyz_of_track)} tracks with 3D points")
 

@@ -195,8 +195,12 @@ class TestIncrementalSfM:
     @pytest.mark.slow
     def test_reconstructs_arc_10view_192px(self, tmp_path):
         """The 10-view 192 px arc whose numbers are quoted in
-        ARCHITECTURE.md (r2: 302 points, pairwise median 1.7 deg, global
-        median 2.9 deg, 0.53 px reproj)."""
+        ARCHITECTURE.md. History: r2 (no culling) global median 2.9 deg,
+        0.53 px; r4 observation culling (the oracle error budget in
+        assets/sfm_error_budget.json showed surviving match mistakes cost
+        ~1.7 deg while the geometry stack is exact) -> 1.19 deg, 0.46 px —
+        at the oracle-matching bound. With featuremetric KA on top the
+        pipeline is sub-degree (see test_arc_10view_ka_subdegree)."""
         from pixtrack_tpu.mapping.mesh_render import load_obj, render_mesh
         from test_mesh_render import make_cube_obj
 
@@ -224,8 +228,48 @@ class TestIncrementalSfM:
         _check_rig_reconstruction(
             rec, gt_poses, 10,
             min_registered=9, min_points=150,
-            pairwise_gate_deg=5.0, global_gate_deg=8.0,
-            center_gate_frac=0.25, reproj_gate_px=1.0,
+            pairwise_gate_deg=5.0, global_gate_deg=2.0,
+            center_gate_frac=0.08, reproj_gate_px=0.7,
+        )
+
+    @pytest.mark.slow
+    def test_arc_10view_ka_subdegree(self, tmp_path):
+        """The r4 headline accuracy gate (VERDICT r2 #4): observation
+        culling + featuremetric KA reach SUB-DEGREE global rotation and
+        sub-0.3 px reprojection on the 10-view arc (measured r4: 0.92 deg
+        global median, 0.27 px, centers 4.4% of rig radius) — the
+        pixel-perfect-SfM territory of reference
+        scripts/run_reconstruction.py:52-61."""
+        from pixtrack_tpu.mapping.mesh_render import load_obj, render_mesh
+        from test_mesh_render import make_cube_obj
+
+        mesh = load_obj(make_cube_obj(tmp_path))
+        res = 192
+        camera = Camera.pinhole(res * 1.1, res * 1.1, (res - 1) / 2,
+                                (res - 1) / 2, res, res)
+        views, gt_poses = {}, {}
+        for i in range(10):
+            ang = np.deg2rad(17.0) * i
+            center = 0.9 * np.array(
+                [np.sin(ang), 0.4 + 0.1 * np.sin(2 * ang), np.cos(ang)]
+            )
+            T = look_at_w2c(center)
+            views[i + 1] = render_mesh(mesh, T, camera)
+            gt_poses[i + 1] = T
+        cam_rec = colmap_io.CameraRecord(
+            1, "PINHOLE", res, res,
+            np.array([res * 1.1, res * 1.1, res / 2.0, res / 2.0]),
+        )
+        rec = incremental_sfm(
+            views, cam_rec, max_keypoints=768, nms_radius=1,
+            match_kw=dict(min_score=0.5, ratio=0.98),
+            featuremetric_ka=True,
+        )
+        _check_rig_reconstruction(
+            rec, gt_poses, 10,
+            min_registered=9, min_points=150,
+            pairwise_gate_deg=3.0, global_gate_deg=1.3,
+            center_gate_frac=0.08, reproj_gate_px=0.35,
         )
 
     def test_reconstruct_with_featuremetric_ka(self, tmp_path):
