@@ -99,7 +99,12 @@ def _detect(img, max_keypoints: int, nms_radius: int, border: int):
     det = jnp.where(safe, det, 1.0)
     dx = -(hyy * gx - hxy * gy) / det
     dy = -(hxx * gy - hxy * gx) / det
-    ok = safe & (jnp.abs(dx) < 1.0) & (jnp.abs(dy) < 1.0)
+    # 3x3 reads use flat-index clipping, so for border peaks the dx=+-1
+    # neighbors wrap into the adjacent row: disable refinement there
+    # (top_k can surface border pixels when border=0 or among -inf ties)
+    px, py = idx % W, idx // W
+    interior = (px > 0) & (px < W - 1) & (py > 0) & (py < H - 1)
+    ok = safe & interior & (jnp.abs(dx) < 1.0) & (jnp.abs(dy) < 1.0)
     off = jnp.stack([jnp.where(ok, dx, 0.0), jnp.where(ok, dy, 0.0)], axis=-1)
     kp = kp + jnp.clip(off, -0.6, 0.6)
 

@@ -1210,7 +1210,10 @@ def incremental_sfm(
         if not errs_l:
             return 0
         errs = np.concatenate(errs_l)
-        gate = max(3.0 * float(np.median(errs[errs < 1e5])), 1.0)
+        finite = errs[errs < 1e5]
+        if finite.size == 0:  # every posed observation flagged invisible
+            return 0
+        gate = max(3.0 * float(np.median(finite)), 1.0)
         n_cull = 0
         for e, (tid, obs) in zip(errs, locs):
             if e > gate and obs in tracks[tid]:

@@ -110,7 +110,11 @@ def extract_superpoint(
         den = jnp.where(safe, den, 1.0)
         dx = -(hyy * gx - hxy * gy) / den
         dy = -(hxx * gy - hxy * gx) / den
-        ok = safe & (jnp.abs(dx) < 1.0) & (jnp.abs(dy) < 1.0)
+        # 3x3 reads use flat-index clipping, so for border peaks the dx=+-1
+        # neighbors wrap into the adjacent row: disable refinement there
+        px, py = idx % W8, idx // W8
+        interior = (px > 0) & (px < W8 - 1) & (py > 0) & (py < H8 - 1)
+        ok = safe & interior & (jnp.abs(dx) < 1.0) & (jnp.abs(dy) < 1.0)
         off = jnp.stack(
             [jnp.where(ok, dx, 0.0), jnp.where(ok, dy, 0.0)], axis=-1
         )

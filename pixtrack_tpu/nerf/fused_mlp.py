@@ -239,12 +239,7 @@ def fused_distilled_eval(field, xT: jax.Array, dT: jax.Array,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    octaves = field.octaves
-    depth = len(field.trunk)
-    width = field.trunk[0]["kernel"].shape[0]
-    assert width == 128 and field.head["kernel"].shape[0] == 16, (
-        "fused kernel is specialized to the production shape (128-wide trunk,"
-        " 1+15 head)")
+    octaves, depth, enc_pad, weights = _prep_weights(field)
 
     n = xT.shape[1]
     n_pad = -(-n // TILE_N) * TILE_N
@@ -252,20 +247,6 @@ def fused_distilled_eval(field, xT: jax.Array, dT: jax.Array,
     dp = _pad_cols(dT.astype(jnp.float32), n_pad)
     xp = _pad_rows(xp, 8)
     dp = _pad_rows(dp, 8)
-
-    enc_pad = -(-(3 + 6 * octaves) // 8) * 8
-    w1 = _pad_cols(field.trunk[0]["kernel"], enc_pad)
-    b1 = field.trunk[0]["bias"]
-    wt = jnp.stack([p["kernel"] for p in field.trunk[1:]], axis=0)
-    bt = jnp.stack([p["bias"] for p in field.trunk[1:]], axis=0)
-    wh = field.head["kernel"]
-    bh = field.head["bias"]
-    wc1 = _pad_cols(field.color[0]["kernel"], 32)
-    bc1 = field.color[0]["bias"]
-    wc2 = field.color[1]["kernel"]
-    bc2 = field.color[1]["bias"]
-    wc3 = _pad_rows(field.color[2]["kernel"], 8)
-    bc3 = _pad_rows(field.color[2]["bias"], 8)
 
     grid = (n_pad // TILE_N,)
     tile_spec = lambda r: pl.BlockSpec(  # noqa: E731
@@ -286,7 +267,7 @@ def fused_distilled_eval(field, xT: jax.Array, dT: jax.Array,
             bytes_accessed=(xp.size + dp.size + 8 * n_pad) * 4,
             transcendentals=n_pad * (6 * octaves + 8),
         ),
-    )(xp, dp, w1, b1, wt, bt, wh, bh, wc1, bc1, wc2, bc2, wc3, bc3)
+    )(xp, dp, *weights)
 
     return out[0, :n], out[1:4, :n]
 

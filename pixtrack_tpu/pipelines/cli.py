@@ -381,10 +381,15 @@ def _cmd_sfm_from_obj(args):
     from pixtrack_tpu.pipelines.assets import layout
 
     paths = layout(args.object_path)
-    scene = create_scene_from_mesh(
-        args.obj, out_dir=paths["ref_sfm"], image_size=args.image_size,
+    # renders go to the mapping dir (the reference copies mapping pngs into
+    # pixsfm/dataset/mapping, run_reconstruction.py:76-84); the triangulated
+    # model is SAVED to ref_sfm so train-nerf/nerf-sfm/augment can load it
+    scene, _images = create_scene_from_mesh(
+        args.obj, out_dir=paths["mapping"], image_size=args.image_size,
         subdiv=args.subdiv,
     )
+    paths["ref_sfm"].mkdir(parents=True, exist_ok=True)
+    scene.save(paths["ref_sfm"])
     print(f"mesh SfM: {len(scene.images)} views, {len(scene.points3D)} "
           f"points -> {paths['ref_sfm']}")
 
@@ -407,6 +412,17 @@ def _cmd_extract_frames(args):
         i += 1
     cap.release()
     print(f"extracted {saved} frames -> {out}")
+
+
+def _cmd_convert_images(args):
+    """Batch image conversion (Convert_HEIC_to_PNG.ipynb's role)."""
+    from pixtrack_tpu.utils.image_convert import convert_images
+
+    n = convert_images(
+        args.src_dir, args.out_dir, to=args.to,
+        exts=args.ext if args.ext else None,
+    )
+    print(f"converted {n} images -> {args.out_dir} ({args.to})")
 
 
 def _cmd_bundle_adjust(args):
@@ -537,6 +553,19 @@ def main(argv=None):
     s.add_argument("--out_dir", required=True)
     s.add_argument("--every", type=int, default=1)
     s.set_defaults(fn=_cmd_extract_frames)
+
+    s = sub.add_parser(
+        "convert-images",
+        help="batch-convert images (HEIC->PNG notebook role)",
+    )
+    s.add_argument("src_dir")
+    s.add_argument("out_dir")
+    s.add_argument("--to", default="png", help="target format (default png)")
+    s.add_argument(
+        "--ext", nargs="*", default=None,
+        help="restrict source extensions (e.g. --ext heic jpg)",
+    )
+    s.set_defaults(fn=_cmd_convert_images)
 
     s = sub.add_parser("bundle-adjust", help="refine an SfM model (BA)")
     s.add_argument("--model", required=True)

@@ -60,7 +60,11 @@ def main():
         assert pd.shape[1] == PATCH_D
         return kp, sc, np.concatenate([pd, ld], axis=1)
 
-    cache = Path("/tmp/desc_ab_bank.npz")
+    # cache keyed by the weights sha: the bank embeds learned descriptors,
+    # so a stale bank from different weights would corrupt the sha-paired
+    # eval provenance
+    wsha = hashlib.sha256(weights.read_bytes()).hexdigest()[:16]
+    cache = Path(f"/tmp/desc_ab_bank_{wsha}.npz")
     if cache.exists():
         z = np.load(cache)
         bank = {k: z[k] for k in z.files}

@@ -139,6 +139,57 @@ class TestCLI:
         assert stats["success_10cm10deg"] >= 2 / 3
         assert (tmp_path / "poses.pkl").exists()
 
+    def test_sfm_from_obj_subcommand(self, tmp_path, capsys):
+        """The obj_pipeline.sh stage-1 CLI (create_sfm_from_obj role) must
+        SAVE the triangulated model to ref_sfm and the renders to the
+        mapping dir (regression: it used to drop the SceneModel on the
+        floor and crash on the returned tuple)."""
+        from pixtrack_tpu.pipelines.assets import layout
+        from pixtrack_tpu.pipelines.cli import main
+        from pixtrack_tpu.sfm.scene import SceneModel
+        from test_mesh_render import make_cube_obj
+
+        obj = make_cube_obj(tmp_path)
+        obj_dir = tmp_path / "object"
+        main(["sfm-from-obj", "--object_path", str(obj_dir),
+              "--obj", str(obj), "--image_size", "128", "--subdiv", "0"])
+        assert "mesh SfM: 12 views" in capsys.readouterr().out
+        paths = layout(obj_dir)
+        scene = SceneModel.load(paths["ref_sfm"])
+        assert len(scene.images) == 12
+        assert len(scene.points3D) > 30
+        assert len(list(paths["mapping"].glob("mesh_*.png"))) == 12
+
+    def test_convert_images_subcommand(self, tmp_path, capsys):
+        """convert-images covers the Convert_HEIC_to_PNG notebook role:
+        non-HEIC conversion works out of the box; HEIC decode is gated on
+        an optional decoder with a clear error."""
+        import pytest
+        from PIL import Image
+
+        from pixtrack_tpu.pipelines.cli import main
+        from pixtrack_tpu.utils.image_convert import (
+            _enable_heif_if_possible,
+            convert_images,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        arr = (np.linspace(0, 255, 24 * 32 * 3) % 256).astype(np.uint8)
+        Image.fromarray(arr.reshape(24, 32, 3)).save(src / "a.jpg")
+        Image.fromarray(arr.reshape(24, 32, 3)).save(src / "b.jpg")
+        out = tmp_path / "out"
+        main(["convert-images", str(src), str(out)])
+        assert "converted 2 images" in capsys.readouterr().out
+        png = Image.open(out / "a.png")
+        assert png.size == (32, 24)
+
+        # HEIC path: no decoder in this image -> must fail loudly, not skip
+        if _enable_heif_if_possible() is None:
+            (src / "c.heic").write_bytes(b"\x00\x00\x00\x18ftypheic")
+            with pytest.raises(RuntimeError, match="no HEIF decoder"):
+                convert_images(src, out, exts=["heic"])
+
     def test_eval_subcommand(self, tmp_path, capsys):
         import pickle
 

@@ -87,3 +87,55 @@ def test_sharded_video_tracking_refines_all_frames():
         assert t_after[-1] < 0.05
     assert np.mean(t_after) < np.mean(t_before)
     assert np.all(np.isfinite(np.asarray(cost)))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_dryrun_video_step_nan_regression():
+    """Regression for the r3 multichip artifact NaN (fixed in 1ad0271):
+    the dryrun's sharded video-step configuration must yield FINITE costs
+    and poses for valid geometry, and +inf (the LM's empty-validity cost,
+    lm.py::_mean_cost — NOT NaN, NOT a vacuous 0.0) when every point falls
+    behind the camera. Runs the same make_sharded_video_tracker path the
+    driver's dryrun_multichip gate uses, at fast-tier shapes."""
+    from pixtrack_tpu.geometry.nerf_transform import C_CAM, P_W
+
+    mesh = make_mesh(n_devices=8, tp=1)
+    Hq = Wq = 48
+    camera = Camera.pinhole(50.0, 50.0, (Wq - 1) / 2, (Hq - 1) / 2, Wq, Hq)
+    refcam = Camera.pinhole(25.0, 25.0, (Wq // 2 - 1) / 2, (Hq // 2 - 1) / 2,
+                            Wq // 2, Hq // 2)
+    P_W_j = jnp.asarray(P_W, jnp.float32)
+    C_CAM_j = jnp.asarray(C_CAM, jnp.float32)
+
+    def c2w_nerf_of(T):
+        Tinv = T.inv()
+        return P_W_j @ Tinv.R @ C_CAM_j, P_W_j @ Tinv.t
+
+    rng = np.random.default_rng(0)
+    p3d = jnp.asarray(rng.uniform(-0.25, 0.25, (128, 3)).astype(np.float32))
+    vt = make_sharded_video_tracker(
+        mesh, _BlobField(), HandcraftedExtractor(strides=(1, 4)), p3d,
+        camera, refcam, [[0.0] * 3, [1.0] * 3], c2w_nerf_of,
+        align_cfg=AlignConfig(num_iters=3),
+        rcfg=RenderConfig(n_coarse=8, n_fine=0, perturb=False),
+    )
+    B = 8
+    Q = jnp.asarray(rng.uniform(size=(B, Hq, Wq, 3)).astype(np.float32))
+
+    # valid geometry: points in front of the camera -> everything finite
+    T_ok = Pose.identity((B,)).retract(
+        jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 1.6]), (B, 1))
+    )
+    R1, t1, cost, _ = vt(T_ok.R, T_ok.t, Q)
+    assert np.all(np.isfinite(np.asarray(cost)))
+    assert np.all(np.isfinite(np.asarray(R1)))
+    assert np.all(np.isfinite(np.asarray(t1)))
+
+    # degenerate geometry: every point behind the camera -> +inf BY DESIGN
+    # (the r3 bug scored this 0.0 and the NaN sailed into the artifact)
+    T_bad = Pose.identity((B,)).retract(
+        jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, -1.6]), (B, 1))
+    )
+    _, _, cost_bad, _ = vt(T_bad.R, T_bad.t, Q)
+    cb = np.asarray(cost_bad)
+    assert np.all(np.isposinf(cb)), f"expected +inf empty-validity cost, got {cb}"
