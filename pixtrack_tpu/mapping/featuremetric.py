@@ -169,6 +169,65 @@ def keypoint_adjustment(
     return new_kp
 
 
+def refine_scene_keypoints(
+    scene: SceneModel,
+    images: Dict[int, np.ndarray],
+    extractor: FeatureExtractor,
+    cfg: FeatureMetricConfig = FeatureMetricConfig(),
+    upsample: int = 1,
+) -> SceneModel:
+    """KA ROUND 2 on CONVERGED structure: re-run keypoint adjustment with
+    the final model's tracks (post-culling, post-BA — cleaner topology than
+    the pre-geometry KA pass), write the refined observations back into the
+    image records, and return the scene for the caller to re-BA.
+
+    ``upsample``: extract KA features on an N-x upsampled image (keypoints
+    scaled along, trust region scaled along) — halves bilinear-interpolation
+    bias, the dominant remaining term once tracks are clean.
+    """
+    tracks = []
+    track_obs = []
+    for pid in sorted(scene.points3D):
+        rec = scene.points3D[pid]
+        tr = [
+            (int(i), int(k))
+            for i, k in zip(rec.image_ids, rec.point2D_idxs)
+            if int(i) in images
+        ]
+        if len(tr) >= 2:
+            tracks.append(tr)
+            track_obs.extend(tr)
+    if not tracks:
+        return scene
+    kps = {
+        int(iid): np.asarray(im.xys, np.float64).copy()
+        for iid, im in scene.images.items()
+        if int(iid) in images
+    }
+    if upsample > 1:
+        import cv2
+
+        imgs_u = {
+            iid: cv2.resize(img, None, fx=upsample, fy=upsample,
+                            interpolation=cv2.INTER_CUBIC)
+            for iid, img in images.items()
+        }
+        kps_u = {iid: kp * upsample for iid, kp in kps.items()}
+        cfg_u = dataclasses.replace(
+            cfg, max_shift_px=cfg.max_shift_px * upsample
+        )
+        refined = keypoint_adjustment(imgs_u, kps_u, tracks, extractor, cfg_u)
+        refined = {iid: kp / upsample for iid, kp in refined.items()}
+    else:
+        refined = keypoint_adjustment(images, kps, tracks, extractor, cfg)
+    new_images = {}
+    for iid, im in scene.images.items():
+        if int(iid) in refined:
+            im = dataclasses.replace(im, xys=refined[int(iid)])
+        new_images[iid] = im
+    return SceneModel(scene.cameras, new_images, scene.points3D)
+
+
 # ---------------------------------------------------------------- PA ----
 def point_adjustment(
     scene: SceneModel,
@@ -279,35 +338,130 @@ def point_adjustment(
     return np.asarray(xyz)
 
 
-def refine_poses_featuremetric(
+def _scene_with(scene: SceneModel, poses: Dict[int, Pose],
+                xyz: np.ndarray) -> SceneModel:
+    """SceneModel with updated per-image poses and packed-order xyz."""
+    images = {}
+    for iid, im in scene.images.items():
+        if int(iid) in poses:
+            q, t = poses[int(iid)].to_quat_t()
+            im = dataclasses.replace(
+                im, qvec=np.asarray(q, np.float64),
+                tvec=np.asarray(t, np.float64),
+            )
+        images[iid] = im
+    points = {}
+    for k, pid in enumerate(scene.point_ids):
+        p = scene.points3D[int(pid)]
+        points[int(pid)] = dataclasses.replace(
+            p, xyz=np.asarray(xyz[k], np.float64)
+        )
+    return SceneModel(scene.cameras, images, points)
+
+
+def featuremetric_ba(
     scene: SceneModel,
     images: Dict[int, np.ndarray],
     extractor: FeatureExtractor,
-    align_cfg=None,
-):
-    """Per-image 6-DoF pose refinement against the scene's points using the
-    tracker's aligner (the BA pose block). Returns {image_id: Pose}."""
-    from pixtrack_tpu.align.lm import AlignConfig, align_pyramid
-    from pixtrack_tpu.align.observations import build_level_data, observe_points
+    rounds: int = 2,
+    pose_iters: int = 30,
+    cfg: FeatureMetricConfig = FeatureMetricConfig(),
+    point_block: bool = True,
+    finest_only: bool = True,
+    verbose: bool = False,
+) -> SceneModel:
+    """Joint featuremetric refinement of poses AND points — the
+    pixel-perfect-sfm featuremetric-BA role (reference
+    scripts/run_reconstruction.py:52-61: PixSfM's Ceres BA against S2DNet
+    dense features), as block-coordinate LM on TPU:
 
-    if align_cfg is None:
-        align_cfg = AlignConfig(num_iters=30)
-    out = {}
-    for iid in scene.image_ids:
-        iid = int(iid)
-        if iid not in images:
-            continue
-        cam = scene.camera_for_image(iid)
-        T = scene.pose_w2c(iid)
-        pyr = extractor(images[iid])
-        idx = scene.p3d_indices_for_images([iid])
-        xyz, mask = scene.pack_points(idx, pad_multiple=256)
-        f, w, v = observe_points(pyr, T, cam, jnp.asarray(xyz), jnp.asarray(mask))
-        # refine against the *other* views' mean? single-view self-refine is a
-        # no-op; here we refine against the scene's aggregated descriptors if
-        # available — for the pipeline this runs after KA/PA with multi-view
-        # aggregation done by the caller. Kept simple: self-consistent check.
-        levels = build_level_data(pyr, f, w, v, jnp.asarray(xyz), jnp.asarray(mask))
-        final, _ = align_pyramid(T, levels, cam, align_cfg)
-        out[iid] = final.T
-    return out
+      (a) POSE block — each image's 6-DoF pose aligned with the tracker's
+          own solver (align.lm) against the LEAVE-ONE-OUT track-mean
+          descriptors of its observed points (the mean over the OTHER
+          views' current projections — the self view would make the
+          objective a fixed point of the current pose);
+      (b) POINT block — ``point_adjustment``: each 3D point's batched 3x3
+          featuremetric LM against its observations, anchored to the
+          geometric solution.
+
+    Keypoint-level geometry (KA + culling + BA) caps the arc rig at the
+    keypoint-localization noise floor (~0.9 deg global median,
+    assets/sfm_error_budget.json); this stage optimizes poses directly
+    against dense features, below keypoint quantization.
+
+    ``finest_only``: align poses on the finest pyramid level only — the
+    corrections are sub-pixel, coarse levels only smear them.
+    Returns a refined SceneModel (same tracks, new poses + xyz).
+    """
+    from pixtrack_tpu.align.lm import AlignConfig, align_pyramid
+    from pixtrack_tpu.align.observations import (
+        aggregate_observations,
+        build_level_data,
+        observe_points,
+    )
+    from pixtrack_tpu.features.pyramid import FeaturePyramid
+
+    iids = [int(i) for i in scene.image_ids if int(i) in images]
+    if len(iids) < 3:
+        return scene
+    pyrs = {iid: extractor(images[iid]) for iid in iids}
+    poses = {iid: scene.pose_w2c(iid) for iid in iids}
+    cams = {iid: scene.camera_for_image(iid) for iid in iids}
+    M = len(scene.point_ids)
+    if M == 0:
+        return scene
+    xyz = jnp.asarray(scene.xyz, jnp.float32)
+    obs = {iid: np.zeros(M, bool) for iid in iids}
+    for k, pid in enumerate(scene.point_ids):
+        for im in scene.points3D[int(pid)].image_ids:
+            if int(im) in obs:
+                obs[int(im)][k] = True
+    obs_j = {iid: jnp.asarray(m) for iid, m in obs.items()}
+
+    n_levels = pyrs[iids[0]].num_levels
+    lvl_sel = [0] if finest_only else list(range(n_levels))
+    align_cfg = AlignConfig(num_iters=pose_iters)
+
+    for r in range(rounds):
+        per_view = {
+            iid: observe_points(pyrs[iid], poses[iid], cams[iid], xyz,
+                                obs_j[iid])
+            for iid in iids
+        }
+        F = [jnp.stack([per_view[i][0][l] for i in iids]) for l in lvl_sel]
+        Wg = [jnp.stack([per_view[i][1][l] for i in iids]) for l in lvl_sel]
+        Vl = [jnp.stack([per_view[i][2][l] for i in iids]) for l in lvl_sel]
+        for vi, iid in enumerate(iids):
+            keep = np.ones(len(iids), bool)
+            keep[vi] = False
+            f_ref, w_ref, valid = [], [], []
+            for li in range(len(lvl_sel)):
+                f, w, va = aggregate_observations(
+                    F[li][keep], Wg[li][keep], Vl[li][keep]
+                )
+                f_ref.append(f)
+                w_ref.append(w)
+                valid.append(va)
+            pyr = pyrs[iid]
+            pyr_sel = FeaturePyramid(
+                levels=tuple(pyr.levels[l] for l in lvl_sel),
+                scales=tuple(pyr.scales[l] for l in lvl_sel),
+                confidences=(
+                    None if pyr.confidences is None
+                    else tuple(pyr.confidences[l] for l in lvl_sel)
+                ),
+            )
+            levels = build_level_data(
+                pyr_sel, tuple(f_ref), tuple(w_ref), tuple(valid),
+                xyz, obs_j[iid],
+            )
+            final, _ = align_pyramid(poses[iid], levels, cams[iid], align_cfg)
+            poses[iid] = final.T
+        if point_block:
+            scene_r = _scene_with(scene, poses, np.asarray(xyz))
+            xyz = jnp.asarray(
+                point_adjustment(scene_r, images, extractor, cfg), jnp.float32
+            )
+        if verbose:
+            print(f"featuremetric BA round {r + 1}/{rounds} done")
+    return _scene_with(scene, poses, np.asarray(xyz))

@@ -1,0 +1,221 @@
+"""Build the SECOND benchmark world's assets (VERDICT r4 #2/#3).
+
+Drives the production obj pipeline (reference obj_pipeline.sh:1-3:
+create_sfm_from_obj -> train_ingp_nerf -> augment_sfm) on a procedurally
+textured ASYMMETRIC house mesh at PRODUCTION budgets (10k NeRF steps,
+train_ingp_nerf.sh:14), then distills the trained field into the MXU-only
+production render path and ships everything bench.py needs:
+
+  assets/mesh_world/src/           house.obj + mtl + texture atlas
+  assets/mesh_world/field.npz      distilled render field (production path)
+  assets/mesh_world/aug_sfm/       augmented SfM bins + covis.pkl
+  assets/mesh_world/nerf2sfm.pkl   SfM<->NeRF transform
+  assets/mesh_world/meta.json      aabb, diameter, timings, PSNR evidence
+  assets/nerf_train_eval.json      BASELINE config-3 measurements
+    (on-chip steps/s, PSNR at the 10k budget, distill fidelity) and the
+    config-5 asset-pipeline wall-clock per stage.
+
+Run on the real TPU (no JAX_PLATFORMS override):
+    nohup python scripts_dev/build_mesh_bench_assets.py > /tmp/mwb.log 2>&1 &
+"""
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+WORK = Path("/tmp/mesh_world_build/object")
+ASSETS = REPO / "assets" / "mesh_world"
+IMAGE_SIZE = 448
+N_STEPS = 10000  # the reference production budget (train_ingp_nerf.sh:14)
+
+
+def psnr(a, b, mask=None):
+    a = np.asarray(a, np.float32) / (255.0 if a.dtype == np.uint8 else 1.0)
+    b = np.asarray(b, np.float32) / (255.0 if b.dtype == np.uint8 else 1.0)
+    se = (a - b) ** 2
+    if mask is not None:
+        se = se[mask]
+    return float(10.0 * np.log10(1.0 / max(se.mean(), 1e-10)))
+
+
+def holdout_poses(mesh, n=6, seed=11):
+    """Novel viewpoints NOT in the icosphere rig (random azimuth/elev at rig
+    distance)."""
+    sys.path.insert(0, str(REPO / "tests"))
+    from synthetic_world import look_at_w2c
+
+    V = mesh["vertices"]
+    center = V.mean(axis=0)
+    radius = np.linalg.norm(V - center, axis=1).max()
+    rng = np.random.default_rng(seed)
+    poses = []
+    for _ in range(n):
+        az = rng.uniform(0, 2 * np.pi)
+        el = rng.uniform(-0.5, 0.9)
+        d = np.array([np.cos(el) * np.sin(az), np.sin(el),
+                      np.cos(el) * np.cos(az)])
+        poses.append(look_at_w2c(center + d * radius * 2.8, target=center))
+    return poses
+
+
+def main():
+    from pixtrack_tpu.geometry import Camera
+    from pixtrack_tpu.mapping.mesh_render import load_obj, render_mesh
+    from pixtrack_tpu.mapping.nerf_dataset import estimate_aabb_from_scene
+    from pixtrack_tpu.mapping.procedural import make_house_obj
+    from pixtrack_tpu.geometry.nerf_transform import NerfTransform
+    from pixtrack_tpu.nerf.distill import save_distilled
+    from pixtrack_tpu.nerf.testbed import initialize_testbed
+    from pixtrack_tpu.pipelines.assets import layout, train_nerf_asset
+    from pixtrack_tpu.pipelines.cli import main as cli
+    from pixtrack_tpu.sfm.scene import SceneModel
+    from pixtrack_tpu.tracking.render_bridge import render_nerf_view
+
+    timings = {}
+    if WORK.exists():
+        shutil.rmtree(WORK)
+    ASSETS.mkdir(parents=True, exist_ok=True)
+
+    # ---- stage 0: procedural asymmetric mesh -----------------------------
+    obj_path = make_house_obj(ASSETS / "src", seed=7, size=0.3, tile=96)
+    mesh = load_obj(obj_path)
+    V = mesh["vertices"]
+    diameter = float(
+        np.linalg.norm(V[None] - V[:, None], axis=-1).max()
+    )
+    print(f"mesh: {len(V)} verts, diameter {diameter:.4f}", flush=True)
+
+    # ---- stage 1: sfm-from-obj (create_sfm_from_obj role) ----------------
+    t0 = time.time()
+    cli(["sfm-from-obj", "--object_path", str(WORK), "--obj", str(obj_path),
+         "--image_size", str(IMAGE_SIZE), "--subdiv", "1"])
+    timings["sfm_from_obj_s"] = round(time.time() - t0, 1)
+    print(f"[stage 1] {timings['sfm_from_obj_s']}s", flush=True)
+
+    # ---- stage 2: train-nerf at the production 10k-step budget -----------
+    t0 = time.time()
+    field, params, info = train_nerf_asset(
+        WORK, n_steps=N_STEPS, save_every=1000, verbose=True
+    )
+    timings["train_nerf_s"] = round(time.time() - t0, 1)
+    steps_per_s = N_STEPS / info["seconds"]
+    print(f"[stage 2] {timings['train_nerf_s']}s wall, "
+          f"{steps_per_s:.2f} steps/s (train loop {info['seconds']:.0f}s)",
+          flush=True)
+
+    # ---- stage 3: rotation augmentation (augment_sfm role) ---------------
+    t0 = time.time()
+    cli(["augment", "--object_path", str(WORK)])
+    timings["augment_s"] = round(time.time() - t0, 1)
+    print(f"[stage 3] {timings['augment_s']}s", flush=True)
+
+    paths = layout(WORK)
+    scene = SceneModel.load(paths["ref_sfm"])
+    tf = NerfTransform.load(paths["nerf2sfm"])
+    aabb = estimate_aabb_from_scene(scene, tf)
+
+    # ---- stage 4: PSNR at the 10k budget (held-out views), distill -------
+    cam = Camera.pinhole(
+        1.2 * IMAGE_SIZE, 1.2 * IMAGE_SIZE,
+        (IMAGE_SIZE - 1) / 2, (IMAGE_SIZE - 1) / 2, IMAGE_SIZE, IMAGE_SIZE,
+    )
+    hp = holdout_poses(mesh)
+    gt_views = [render_mesh(mesh, T, cam) for T in hp]
+
+    testbed = initialize_testbed(paths["snapshot"], aabb=aabb)
+    t0 = time.time()
+    field_views = [
+        render_nerf_view(testbed, tf, T, cam, spp=2, alpha_threshold=-1.0)
+        for T in hp
+    ]
+    timings["field_render_6x448_s"] = round(time.time() - t0, 1)
+    masks = [g.min(axis=-1) < 250 for g in gt_views]  # object region
+    psnr_field = float(np.mean([psnr(f, g) for f, g in zip(field_views, gt_views)]))
+    psnr_field_obj = float(np.mean(
+        [psnr(f, g, m) for f, g, m in zip(field_views, gt_views, masks)]
+    ))
+    print(f"[psnr] hash field @10k: full {psnr_field:.2f} dB, "
+          f"object-region {psnr_field_obj:.2f} dB", flush=True)
+
+    t0 = time.time()
+    testbed.tighten_render_bounds()
+    testbed.distill()
+    timings["distill_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    distilled_views = [
+        render_nerf_view(testbed, tf, T, cam, spp=2, alpha_threshold=-1.0)
+        for T in hp
+    ]
+    timings["distilled_render_6x448_s"] = round(time.time() - t0, 1)
+    psnr_distilled = float(np.mean(
+        [psnr(f, g) for f, g in zip(distilled_views, gt_views)]
+    ))
+    psnr_student_vs_teacher = float(np.mean(
+        [psnr(d, f) for d, f in zip(distilled_views, field_views)]
+    ))
+    print(f"[psnr] distilled: vs GT {psnr_distilled:.2f} dB, "
+          f"vs teacher {psnr_student_vs_teacher:.2f} dB "
+          f"(distill {timings['distill_s']}s)", flush=True)
+
+    # ---- stage 5: ship assets --------------------------------------------
+    save_distilled(ASSETS / "field.npz", testbed._baked)
+    if (ASSETS / "aug_sfm").exists():
+        shutil.rmtree(ASSETS / "aug_sfm")
+    shutil.copytree(paths["aug_sfm"], ASSETS / "aug_sfm")
+    # database.db is pipeline plumbing, not a bench input — keep assets lean
+    (ASSETS / "aug_sfm" / "database.db").unlink(missing_ok=True)
+    shutil.copy(paths["nerf2sfm"], ASSETS / "nerf2sfm.pkl")
+
+    meta = {
+        "object": "procedural house (mapping/procedural.py, seed 7)",
+        "image_size": IMAGE_SIZE,
+        "n_mapping_views": len(scene.images),
+        "n_points": len(scene.points3D),
+        "diameter": diameter,
+        "aabb": np.asarray(aabb).tolist(),
+        "timings_s": timings,
+        "nerf": {
+            "n_steps": N_STEPS,
+            "steps_per_s": round(steps_per_s, 2),
+            "psnr_holdout_full_db": round(psnr_field, 2),
+            "psnr_holdout_object_db": round(psnr_field_obj, 2),
+            "psnr_distilled_vs_gt_db": round(psnr_distilled, 2),
+            "psnr_distilled_vs_teacher_db": round(psnr_student_vs_teacher, 2),
+        },
+    }
+    (ASSETS / "meta.json").write_text(json.dumps(meta, indent=1))
+
+    # BASELINE config-3 + config-5 evidence (VERDICT r4 #3)
+    (REPO / "assets" / "nerf_train_eval.json").write_text(json.dumps({
+        "config3_nerf_training": {
+            "hardware": "1x TPU v5e chip (axon tunnel; dispatch overhead "
+                        "inflates wall-clock vs a local host)",
+            "budget_steps": N_STEPS,
+            "batch_rays": 1 << 14,
+            "steps_per_s": round(steps_per_s, 2),
+            "wall_s": timings["train_nerf_s"],
+            "psnr_holdout_full_db": round(psnr_field, 2),
+            "psnr_holdout_object_db": round(psnr_field_obj, 2),
+            "reference_budget": "instant-ngp 10000 steps "
+                                "(train_ingp_nerf.sh:14)",
+        },
+        "distill_fidelity": {
+            "psnr_student_vs_teacher_db": round(psnr_student_vs_teacher, 2),
+            "psnr_student_vs_gt_db": round(psnr_distilled, 2),
+            "distill_s": timings["distill_s"],
+        },
+        "config5_asset_pipeline_wall_clock_s": timings,
+        "world": "assets/mesh_world (procedural house, obj_pipeline.sh role)",
+    }, indent=1))
+    print("DONE", json.dumps(meta["nerf"]), flush=True)
+
+
+if __name__ == "__main__":
+    main()
