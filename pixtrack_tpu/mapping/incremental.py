@@ -772,6 +772,7 @@ def incremental_sfm(
     match_kw: Optional[dict] = None,
     strategy: str = "chain",
     featuremetric_ka: bool = False,
+    featuremetric_ba_rounds: int = 0,
     ka_extractor=None,
     keypoints: Optional[Dict[int, np.ndarray]] = None,
     pair_matches: Optional[Dict[Tuple[int, int], np.ndarray]] = None,
@@ -1301,6 +1302,7 @@ def incremental_sfm(
                 verbose=verbose,
                 strategy=strategy,
                 featuremetric_ka=featuremetric_ka,
+                featuremetric_ba_rounds=featuremetric_ba_rounds,
                 ka_extractor=ka_extractor,
                 keypoints=kps,
                 pair_matches=gm,
@@ -1322,6 +1324,24 @@ def incremental_sfm(
     reg_matches = {
         p: m for p, m in matches.items() if p[0] in poses and p[1] in poses
     }
-    return triangulate_scene(
+    rec = triangulate_scene(
         image_meta, kps, reg_matches, {camera_rec.camera_id: camera_rec}
     )
+    if featuremetric_ba_rounds > 0 and len(rec.images) >= 3:
+        # final featuremetric polish (the pixsfm featuremetric-BA role):
+        # pose + point blocks against dense features, below keypoint
+        # quantization. Measured on the 10-view arc: 0.915 -> 0.837 deg
+        # global rotation median at rounds=2 (rounds=3 regresses to 0.864;
+        # scripts_dev/fmba_experiment.py r5 sweep).
+        from pixtrack_tpu.features import FeatureExtractor, HandcraftedExtractor
+        from pixtrack_tpu.mapping.featuremetric import featuremetric_ba
+
+        extractor = ka_extractor or FeatureExtractor(
+            HandcraftedExtractor(), resize=1024
+        )
+        if verbose:
+            print(f"featuremetric BA: {featuremetric_ba_rounds} round(s)")
+        rec = featuremetric_ba(
+            rec, images, extractor, rounds=featuremetric_ba_rounds
+        )
+    return rec

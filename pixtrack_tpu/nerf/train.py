@@ -36,6 +36,10 @@ class TrainConfig:
     n_fine: int = 32
     background: str = "white"   # composite training target onto this bg
     log_every: int = 500
+    # device-resident ray-pool cap (0 = unlimited). Large captures are
+    # subsampled foreground-weighted — see train(); sized so the pool stays
+    # ~70 MB through the remote-TPU tunnel.
+    ray_pool_cap: int = 2_000_000
 
 
 def make_loss_fn(field: NGPField, cfg: TrainConfig, aabb):
@@ -79,6 +83,26 @@ def train(
         field, params = init_field(jax.random.PRNGKey(seed + 1))
 
     origins, dirs, rgbs = dataset.all_rays()
+    # Cap the device-resident ray pool. A 42-view 448px capture is 8.4M
+    # rays = ~300 MB x3 arrays — pushing that through the remote-TPU tunnel
+    # stalls for tens of minutes (measured) and is pure waste: 10k steps x
+    # 16k rays sample 160M draws from the pool, so a few-million-ray pool
+    # is statistically equivalent. Subsample FOREGROUND-WEIGHTED (keep all
+    # non-background rays first — that is where the object lives).
+    if cfg.ray_pool_cap and origins.shape[0] > cfg.ray_pool_cap:
+        rng_pool = np.random.default_rng(seed + 2)
+        bg = 1.0 if cfg.background == "white" else 0.0
+        is_fg = np.abs(np.asarray(rgbs) - bg).max(axis=1) > 0.02
+        fg_idx = np.nonzero(is_fg)[0]
+        bg_idx = np.nonzero(~is_fg)[0]
+        n_fg = min(len(fg_idx), int(cfg.ray_pool_cap * 0.8))
+        n_bg = cfg.ray_pool_cap - n_fg
+        sel = np.concatenate([
+            rng_pool.choice(fg_idx, n_fg, replace=False)
+            if len(fg_idx) > n_fg else fg_idx,
+            rng_pool.choice(bg_idx, min(n_bg, len(bg_idx)), replace=False),
+        ])
+        origins, dirs, rgbs = origins[sel], dirs[sel], rgbs[sel]
     origins = jnp.asarray(origins)
     dirs = jnp.asarray(dirs)
     rgbs = jnp.asarray(rgbs)
@@ -114,13 +138,19 @@ def train(
         pred = out["rgb"] + (1.0 - out["alpha"][:, None]) * bg
         return jnp.mean((pred - target) ** 2)
 
-    def one_step(carry, _):
+    # The ray pool enters run_chunk as ARGUMENTS (device buffers), never as
+    # a closure capture: captured numpy/jnp pools are baked into the HLO as
+    # literal constants — a 42-view 448px dataset is ~300 MB of constants,
+    # which blows the remote-compile request limit (measured: HTTP 413 from
+    # the axon compile service) and bloats compile time everywhere else.
+    def one_step(pools, carry, _):
+        o_pool, d_pool, rgb_pool = pools
         params, opt_state, k = carry
         k_batch, k_render, k_next = jax.random.split(k, 3)
         idx = jax.random.randint(k_batch, (cfg.batch_rays,), 0, n_rays)
-        o = jnp.take(origins, idx, axis=0)
-        d = jnp.take(dirs, idx, axis=0)
-        target = jnp.take(rgbs, idx, axis=0)
+        o = jnp.take(o_pool, idx, axis=0)
+        d = jnp.take(d_pool, idx, axis=0)
+        target = jnp.take(rgb_pool, idx, axis=0)
         if batch_sharding is not None:
             o = jax.lax.with_sharding_constraint(o, batch_sharding)
             d = jax.lax.with_sharding_constraint(d, batch_sharding)
@@ -141,24 +171,29 @@ def train(
     if use_scan:
 
         @jax.jit
-        def run_chunk(params, opt_state, k):
+        def run_chunk(params, opt_state, k, o_pool, d_pool, rgb_pool):
             (params, opt_state, k), losses = jax.lax.scan(
-                one_step, (params, opt_state, k), None, length=chunk
+                partial(one_step, (o_pool, d_pool, rgb_pool)),
+                (params, opt_state, k), None, length=chunk,
             )
             return params, opt_state, k, losses[-1]
 
     else:
 
         @jax.jit
-        def run_chunk(params, opt_state, k):
-            (params, opt_state, k), loss = one_step((params, opt_state, k), None)
+        def run_chunk(params, opt_state, k, o_pool, d_pool, rgb_pool):
+            (params, opt_state, k), loss = one_step(
+                (o_pool, d_pool, rgb_pool), (params, opt_state, k), None
+            )
             return params, opt_state, k, loss
 
     history = []
     t0 = time.time()
     done = 0
     while done < cfg.n_steps:
-        params, opt_state, key, loss = run_chunk(params, opt_state, key)
+        params, opt_state, key, loss = run_chunk(
+            params, opt_state, key, origins, dirs, rgbs
+        )
         done += chunk
         if done % cfg.log_every < chunk:
             lv = float(loss)

