@@ -1215,6 +1215,13 @@ def incremental_sfm(
         if finite.size == 0:  # every posed observation flagged invisible
             return 0
         gate = max(3.0 * float(np.median(finite)), 1.0)
+        # never cull more than the worst 20% of observations in one round:
+        # on thin scenes (tens of tracks) the 3x-median gate is a
+        # high-variance statistic and was measured culling a 21-track
+        # model to ZERO in one round (144 px 7-view smoke); bounding the
+        # per-round damage keeps the cull-retriangulate-reBA loop
+        # convergent instead of destructive
+        gate = max(gate, float(np.quantile(finite, 0.8)))
         n_cull = 0
         for e, (tid, obs) in zip(errs, locs):
             if e > gate and obs in tracks[tid]:

@@ -149,7 +149,8 @@ def build_nerf_assets(scene: SceneModel, object_path, aabb_scale: int = 4):
 def train_nerf_asset(object_path, n_steps: int = 10000, downscale: int = 1,
                      batch_rays: int = 1 << 14, save_every: int = 0,
                      resume: bool = False, verbose: bool = False,
-                     devices: int = 0, tp: int = 1):
+                     devices: int = 0, tp: int = 1,
+                     n_coarse: int = 64, n_fine: int = 32):
     """Stage 2: train the hash-grid NeRF on transforms.json and snapshot it
     (train_ingp_nerf.sh role).
 
@@ -205,6 +206,7 @@ def train_nerf_asset(object_path, n_steps: int = 10000, downscale: int = 1,
     field, params, info = train(
         ds, aabb=aabb, field=field, params=params,
         cfg=TrainConfig(n_steps=n_steps, batch_rays=batch_rays,
+                        n_coarse=n_coarse, n_fine=n_fine,
                         log_every=log_every),
         callback=checkpoint if (save_every or verbose) else None,
         mesh=mesh,

@@ -35,6 +35,7 @@ def _cmd_train_nerf(args):
     field, params, info = train_nerf_asset(
         args.object_path, n_steps=args.n_steps, downscale=args.downscale,
         batch_rays=args.batch_rays,
+        n_coarse=args.n_coarse, n_fine=args.n_fine,
         save_every=args.save_every, resume=args.resume, verbose=True,
         devices=args.devices, tp=args.tp,
     )
@@ -364,9 +365,19 @@ def _cmd_reconstruct(args):
                     f"--detector"
                 )
             matcher = None
+    # the accuracy-gate-proven mapper configuration (tests/
+    # test_incremental_sfm): relaxed score/ratio + NMS scaled to image
+    # size. The old CLI defaults (matcher min_score 0.6/ratio 0.95,
+    # nms_radius 4 at any size) starved matches on small captures — the
+    # fast e2e smoke measured 6/10 registered / 18 points at 160 px where
+    # this config reconstructs the full ring.
+    nms = 1 if max(h, w) <= 320 else (2 if max(h, w) <= 768 else 4)
     scene = incremental_sfm(
         images, cam_rec, names=names,
         verbose=args.verbose,
+        max_keypoints=args.max_keypoints,
+        nms_radius=nms,
+        match_kw=dict(min_score=0.5, ratio=0.98),
         featuremetric_ka=not args.no_featuremetric,
         # final featuremetric BA polish (pixsfm BA role); rounds=2 is the
         # measured optimum on the arc rig (0.915 -> 0.837 deg)
@@ -459,6 +470,10 @@ def main(argv=None):
     s.add_argument("--batch_rays", type=int, default=1 << 14)
     s.add_argument("--save_every", type=int, default=1000,
                    help="checkpoint the snapshot every N steps (0 = off)")
+    s.add_argument("--n_coarse", type=int, default=64,
+                   help="stratified samples per ray")
+    s.add_argument("--n_fine", type=int, default=32,
+                   help="importance samples per ray (0 disables fine pass)")
     s.add_argument("--resume", action="store_true",
                    help="warm-start from an existing snapshot")
     s.add_argument("--devices", type=int, default=0,
@@ -533,6 +548,8 @@ def main(argv=None):
     s.add_argument("--verbose", action="store_true")
     s.add_argument("--no-featuremetric", action="store_true",
                    help="skip featuremetric keypoint adjustment (pixsfm KA)")
+    s.add_argument("--max_keypoints", type=int, default=1024,
+                   help="detector budget per image (hloc superpoint_max role)")
     s.add_argument("--matcher", choices=("auto", "nn", "learned"),
                    default="auto",
                    help="pair matcher: trained attention matcher if its "

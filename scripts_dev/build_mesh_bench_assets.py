@@ -33,7 +33,10 @@ sys.path.insert(0, str(REPO))
 WORK = Path("/tmp/mesh_world_build/object")
 ASSETS = REPO / "assets" / "mesh_world"
 IMAGE_SIZE = 448
-N_STEPS = 10000  # the reference production budget (train_ingp_nerf.sh:14)
+# the reference budget is 10000 (train_ingp_nerf.sh:14); on the tunnel
+# chip the scatter-bound step runs ~1.9 s (measured), so the bench asset
+# trains 3000 steps — the snapshot only seeds the distilled student
+N_STEPS = 3000
 
 
 def psnr(a, b, mask=None):
@@ -104,13 +107,18 @@ def main():
         timings["sfm_from_obj_s"] = round(time.time() - t0, 1)
         print(f"[stage 1] {timings['sfm_from_obj_s']}s", flush=True)
 
-    # ---- stage 2: train-nerf at the production 10k-step budget -----------
-    # batch_rays 8192 = TrainConfig's design point for the scatter-bound
-    # backward (~0.3s/step on v5e); 16k doubled device time per step with
-    # no PSNR payoff at the 10k-step budget
+    # ---- stage 2: train-nerf ---------------------------------------------
+    # Config chosen from the measured per-step cost on the tunnel chip
+    # (/tmp/proftrain.log: 8192x96smp = 6.4 s/step, 4096x32 = 1.6 s/step —
+    # the axon chip runs the scatter-heavy step ~20x slower than the
+    # TrainConfig design note assumed). 3000 steps x 4096 rays x 64
+    # samples lands in ~1.5 h; the snapshot quality for the bench asset is
+    # bounded by the DISTILLED student anyway. The reference 10k-step
+    # budget line is recorded alongside the measured steps/s.
     t0 = time.time()
     field, params, info = train_nerf_asset(
-        WORK, n_steps=N_STEPS, batch_rays=8192, save_every=1000, verbose=True
+        WORK, n_steps=N_STEPS, batch_rays=4096, n_coarse=48, n_fine=16,
+        save_every=500, verbose=True
     )
     timings["train_nerf_s"] = round(time.time() - t0, 1)
     steps_per_s = N_STEPS / info["seconds"]
@@ -206,13 +214,19 @@ def main():
             "hardware": "1x TPU v5e chip (axon tunnel; dispatch overhead "
                         "inflates wall-clock vs a local host)",
             "budget_steps": N_STEPS,
-            "batch_rays": 1 << 14,
+            "batch_rays": 4096,
+            "samples_per_ray": 64,
             "steps_per_s": round(steps_per_s, 2),
             "wall_s": timings["train_nerf_s"],
             "psnr_holdout_full_db": round(psnr_field, 2),
             "psnr_holdout_object_db": round(psnr_field_obj, 2),
             "reference_budget": "instant-ngp 10000 steps "
                                 "(train_ingp_nerf.sh:14)",
+            "per_step_cost_sweep_s": {
+                "8192rays_x96smp": 6.38, "8192x32": 2.42, "4096x32": 1.61,
+                "note": "measured on the tunnel chip (/tmp/proftrain.log); "
+                        "the scatter-bound hash-table backward dominates",
+            },
         },
         "distill_fidelity": {
             "psnr_student_vs_teacher_db": round(psnr_student_vs_teacher, 2),

@@ -20,6 +20,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# NOTE on the persistent compile cache: enabling
+# jax_compilation_cache_dir cut repeat runs ~36% (test_align 53s -> 34s)
+# but XLA:CPU AOT reload spams machine-feature-mismatch errors
+# ("+prefer-no-scatter ... could lead to SIGILL") on this host, so it is
+# NOT enabled; set JAX_COMPILATION_CACHE_DIR manually for local loops.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

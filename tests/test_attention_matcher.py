@@ -96,7 +96,7 @@ class TestTraining:
             train_matcher,
         )
 
-        cfg = MatcherTrainConfig(n_steps=30, batch=2, size=96, tex_size=96,
+        cfg = MatcherTrainConfig(n_steps=15, batch=2, size=96, tex_size=96,
                                  n_match=24, n_distract=8, log_every=5,
                                  lr=1e-3)
         mcfg = MatcherConfig(d_model=64, n_heads=2, n_layers=2)

@@ -138,3 +138,49 @@ def test_full_cli_pipeline(tmp_path):
     with open(poses_pkl, "wb") as f:
         pickle.dump(recs, f)
     cli(["eval", "--poses", str(poses_pkl)])
+
+
+def test_cli_pipeline_smoke_fast(tmp_path):
+    """Thinned e2e CLI smoke for the FAST tier (VERDICT r4 #7): the asset
+    chain — reconstruct -> train-nerf -> augment — at minimum viable
+    scale with the reference artifact contract asserted (SURVEY.md §2.4),
+    so a contract break in any stage surfaces on every change. Tracking
+    end-to-end in the fast tier is covered by the `demo` subcommand test
+    (test_config_cli) — the full-scale default-config chain INCLUDING
+    `track` remains test_full_cli_pipeline (slow; the production track
+    path's occupied-bounds sweep alone costs minutes on this 1-core CPU
+    box)."""
+    from pixtrack_tpu.mapping.mesh_render import load_obj
+    from pixtrack_tpu.sfm.scene import SceneModel
+
+    res = 160
+    obj_dir = tmp_path / "object"
+    mesh = load_obj(make_cube_obj(tmp_path))
+    camera = Camera.pinhole(
+        1.2 * res, 1.2 * res, (res - 1) / 2, (res - 1) / 2, res, res
+    )
+    # 6-view partial ARC (22-deg steps): full-ring coverage is the slow
+    # gate's job; the asset chain's artifact contract doesn't need 360
+    # degrees, and arc registration is the proven cheap configuration
+    map_poses = [_ring_pose(np.deg2rad(22.0) * i, el=0.35) for i in range(6)]
+    raw = tmp_path / "captures"
+    _render_views(mesh, map_poses, camera, raw, "map")
+
+    cli(["reconstruct", "--object_path", str(obj_dir), "--images", str(raw),
+         "--no-featuremetric", "--max_keypoints", "384"])
+    paths = layout(obj_dir)
+    assert (paths["ref_sfm"] / "images.bin").exists()
+    rec = SceneModel.load(paths["ref_sfm"])
+    assert len(rec.images) >= 5 and len(rec.points3D) >= 25, rec  # 160px is the minimum viable scale for the DEFAULT mapper config
+
+    cli(["train-nerf", "--object_path", str(obj_dir), "--n_steps", "8", "--batch_rays", "1024",
+         "--n_coarse", "24", "--n_fine", "0", "--save_every", "0"])
+    assert paths["snapshot"].exists()
+    assert paths["transforms"].exists()       # colmap2ingp contract
+    assert paths["nerf2sfm"].exists()
+
+    cli(["augment", "--object_path", str(obj_dir)])
+    assert (paths["aug_sfm"] / "images.bin").exists()
+    assert paths["aug_db"].exists()
+    aug = SceneModel.load(paths["aug_sfm"])
+    assert len(aug.images) > len(rec.images)  # rotation-augmented entries

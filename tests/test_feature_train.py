@@ -45,13 +45,23 @@ class TestDataGen:
 
 class TestTraining:
     def test_loss_finite_and_decreases(self):
+        """One short training run pins BOTH training invariants (finite,
+        decreasing loss AND warp-matched descriptors more similar after
+        training than at init) — the two runs were merged because the
+        jitted train-step compile dominates either one (fast-tier budget,
+        VERDICT r4 #7)."""
         cfg = FeatureTrainConfig(
-            n_steps=30, batch=2, size=64, n_pairs=64, log_every=10, lr=2e-3
+            n_steps=16, batch=2, size=64, n_pairs=64, log_every=4, lr=2e-3
         )
-        model, params, info = train_features(cfg, seed=0)
+        model, params0 = init_unet(jax.random.PRNGKey(0), 64, 64)
+        loss_fn = make_loss_fn(model, cfg)
+        l_before = float(loss_fn(params0, jax.random.PRNGKey(42)))
+        model, params, info = train_features(cfg, seed=0, params=params0)
         hist = info["history"]
         assert all(np.isfinite(l) for _, l in hist)
         assert hist[-1][1] < hist[0][1], f"loss did not improve: {hist}"
+        l_after = float(loss_fn(params, jax.random.PRNGKey(42)))
+        assert l_after < l_before
 
     def test_save_load_roundtrip(self, tmp_path):
         model, params = init_unet(jax.random.PRNGKey(0), 32, 32)
@@ -65,14 +75,5 @@ class TestTraining:
             atol=1e-6,
         )
 
-    def test_trained_features_align_better_than_random(self):
-        """After a short training run, warp-matched descriptors should be
-        more similar than under random init (the property the LM uses)."""
-        cfg = FeatureTrainConfig(n_steps=60, batch=2, size=64, n_pairs=64,
-                                 log_every=30, lr=2e-3)
-        model, params0 = init_unet(jax.random.PRNGKey(0), 64, 64)
-        loss_fn = make_loss_fn(model, cfg)
-        l_before = float(loss_fn(params0, jax.random.PRNGKey(42)))
-        _, params1, _ = train_features(cfg, seed=0, params=params0)
-        l_after = float(loss_fn(params1, jax.random.PRNGKey(42)))
-        assert l_after < l_before
+    # (trained-beats-random was merged into test_loss_finite_and_decreases:
+    # both invariants pin on one training run, halving the fast-tier cost)

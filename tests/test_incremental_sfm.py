@@ -152,25 +152,26 @@ def _check_rig_reconstruction(
 
 class TestIncrementalSfM:
     def test_reconstructs_partial_arc_fast(self, tmp_path):
-        """8 views over a 119 deg arc at 176 px (17 deg baselines): the
-        default mapper regression gate (~2.5 min on this 1-core box;
-        measured r2: 8/8 registered, 204 points, global median 3.3 deg,
-        0.52 px reproj). The richer 10-view 192 px arc (2.9 deg global,
-        0.53 px — the numbers quoted in ARCHITECTURE.md) and the 24-view
-        256 px ring + loop closure are pinned by the slow tier; a full 360
-        ring at 192 px is NOT reliable with the handcrafted detector
-        (22.5 deg baselines mis-assemble; measured 100 deg+ pairwise
-        breaks)."""
+        """6 views over a 110 deg arc at 160 px (22 deg baselines): the
+        default mapper regression gate, sized for the fast tier (VERDICT
+        r4 #7 — the decisive gates must run on every change; the r4 8-view
+        176 px version took ~200 s alone on this 1-core box; 17-deg steps
+        over only 6 views left the similarity-aligned centers too weakly
+        conditioned for the gate). The richer 10-view 192 px arc and the
+        24-view 256 px ring + loop closure are pinned by the slow tier; a
+        full 360 ring at 192 px is NOT reliable with the handcrafted
+        detector (22.5 deg baselines mis-assemble; measured 100 deg+
+        pairwise breaks)."""
         from pixtrack_tpu.mapping.mesh_render import load_obj, render_mesh
         from test_mesh_render import make_cube_obj
 
         mesh = load_obj(make_cube_obj(tmp_path))
-        res = 176
+        res = 160
         camera = Camera.pinhole(res * 1.1, res * 1.1, (res - 1) / 2,
                                 (res - 1) / 2, res, res)
         views, gt_poses = {}, {}
-        for i in range(8):
-            ang = np.deg2rad(17.0) * i
+        for i in range(6):
+            ang = np.deg2rad(22.0) * i
             center = 0.9 * np.array(
                 [np.sin(ang), 0.4 + 0.1 * np.sin(2 * ang), np.cos(ang)]
             )
@@ -182,12 +183,12 @@ class TestIncrementalSfM:
             np.array([res * 1.1, res * 1.1, res / 2.0, res / 2.0]),
         )
         rec = incremental_sfm(
-            views, cam_rec, max_keypoints=640, nms_radius=1, verbose=True,
+            views, cam_rec, max_keypoints=512, nms_radius=1, verbose=True,
             match_kw=dict(min_score=0.5, ratio=0.98),
         )
         _check_rig_reconstruction(
-            rec, gt_poses, 8,
-            min_registered=7, min_points=120,
+            rec, gt_poses, 6,
+            min_registered=5, min_points=80,
             pairwise_gate_deg=5.0, global_gate_deg=8.0,
             center_gate_frac=0.25, reproj_gate_px=1.0,
         )
@@ -296,11 +297,11 @@ class TestIncrementalSfM:
         from test_mesh_render import make_cube_obj
 
         mesh = load_obj(make_cube_obj(tmp_path))
-        res = 160
+        res = 144
         camera = Camera.pinhole(res * 1.1, res * 1.1, (res - 1) / 2,
                                 (res - 1) / 2, res, res)
         views, gt_poses = {}, {}
-        for i in range(8):
+        for i in range(5):
             ang = np.deg2rad(17.0) * i
             center = 0.9 * np.array([np.sin(ang), 0.4, np.cos(ang)])
             T = look_at_w2c(center)
@@ -311,11 +312,12 @@ class TestIncrementalSfM:
             np.array([res * 1.1, res * 1.1, res / 2.0, res / 2.0]),
         )
         rec = incremental_sfm(
-            views, cam_rec, max_keypoints=512, nms_radius=1,
+            views, cam_rec, max_keypoints=448, nms_radius=1,
             match_kw=dict(min_score=0.5, ratio=0.98),
             featuremetric_ka=True,
+            featuremetric_ba_rounds=1,  # + the r5 fmba polish composes
         )
-        assert len(rec.images) >= 6, f"registered {len(rec.images)}"
+        assert len(rec.images) >= 4, f"registered {len(rec.images)}"
         assert len(rec.points3D) > 20
         assert np.mean(rec.point_errors) < 2.0
 
