@@ -211,7 +211,7 @@ def bake(
     max_cell_table_log2: int = 19,
     occ_res: int = 128,
     sigma_threshold: float = 0.01,
-    max_cells_per_chunk: int = 1 << 21,
+    max_cells_per_chunk: int = 1 << 23,
 ) -> BakedField:
     """Pack the trained vertex hash grid into per-CELL corner tables.
 
@@ -260,14 +260,23 @@ def bake(
             bx0 = (ox.astype(np.int64) * res) // occ_res
             by0 = (oy.astype(np.int64) * res) // occ_res
             bz0 = (oz.astype(np.int64) * res) // occ_res
-            for s in range(0, len(ox), per_chunk):
-                bx = np.minimum(bx0[s : s + per_chunk, None] + sx_[None, :], res - 1).ravel()
-                by = np.minimum(by0[s : s + per_chunk, None] + sy_[None, :], res - 1).ravel()
-                bz = np.minimum(bz0[s : s + per_chunk, None] + sz_[None, :], res - 1).ravel()
+            for k, s in enumerate(range(0, len(ox), per_chunk)):
+                bx = np.minimum(bx0[s : s + per_chunk, None] + sx_[None, :], res - 1).ravel().astype(np.int32)
+                by = np.minimum(by0[s : s + per_chunk, None] + sy_[None, :], res - 1).ravel().astype(np.int32)
+                bz = np.minimum(bz0[s : s + per_chunk, None] + sz_[None, :], res - 1).ravel().astype(np.int32)
                 cx = jnp.asarray(bx); cy = jnp.asarray(by); cz = jnp.asarray(bz)
                 packed = _pack_corners(vtab, cx, cy, cz, res, Tv)
                 cidx = _cell_hash(cx, cy, cz, Tc, dense=False, res=res)
                 table = table.at[:, cidx].set(packed)
+                if k % 8 == 7:
+                    # drain the dispatch queue with a real host copy:
+                    # through the remote-TPU tunnel, async dispatches pin
+                    # their host-side staging buffers until consumed, and a
+                    # dense occupancy (floaters after a short training run)
+                    # queued thousands of 25 MB transfers -> measured 127 GB
+                    # RSS and an OOM kill. block_until_ready does NOT sync
+                    # through the tunnel; a 1-element device read does.
+                    _ = np.asarray(table[0, :1])
         tables.append(table)
         dense_flags.append(cell_dense)
 

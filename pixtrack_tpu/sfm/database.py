@@ -205,9 +205,16 @@ class ColmapDatabase:
 
 def create_db_from_scene(scene, path) -> "ColmapDatabase":
     """Seed a database with a SceneModel's cameras + images (the reference's
-    create_db_from_model role, hloc triangulation prep)."""
+    create_db_from_model role, hloc triangulation prep).
+
+    Idempotent: an existing database at ``path`` is replaced — re-running
+    `augment` used to die on the UNIQUE camera_id constraint of the
+    previous run's db."""
+    from pathlib import Path
+
     from pixtrack_tpu.sfm.colmap_io import COLMAP_MODEL_IDS
 
+    Path(path).unlink(missing_ok=True)
     db = ColmapDatabase(path)
     for cam in scene.cameras.values():
         db.add_camera(
