@@ -53,14 +53,40 @@ def bundle_adjust(
     robust_c_px: float = 2.0,
     damping: float = 1e-4,
 ) -> Tuple[Pose, jax.Array]:
-    """Returns (refined poses, refined X). Camera 0 is held fixed."""
+    """Returns (refined poses, refined X). Camera 0 is held fixed.
+
+    Levenberg-Marquardt with STEP ACCEPTANCE, not raw Gauss-Newton: each
+    iteration's full step is kept only if it lowers the robust cost, else
+    it is discarded and the damping is raised 10x (halved on success —
+    the classic Marquardt schedule Ceres/COLMAP run). Acceptance is
+    measured on a cost where invisible (behind-camera / off-frame)
+    observations pay a CAP penalty larger than any visible residual —
+    with the IRLS weights alone, an observation that leaves the frustum
+    leaves the objective, so a diverging step that flips the model
+    mirror-wise (all points behind all cameras) looks like a cost DROP
+    and raw GN happily takes it (measured: the learned-descriptor arc
+    rig's final-polish BA left 514/516 observations behind the cameras
+    from a converged median-0.18 px model)."""
     P = poses.R.shape[0]
     N = X.shape[0]
     M = cam_idx.shape[0]
     D = 6 * (P - 1) + 3 * N
+    c2 = robust_c_px**2
+    # Cauchy loss matching the IRLS weight 1/(1+e2/c^2); invisible
+    # observations pay the loss's value at a 1e3 px residual
+    cap = c2 * jnp.log1p(1e6 / c2)
+
+    def robust_cost(poses, X):
+        R_i = poses.R[cam_idx]
+        t_i = poses.t[cam_idx]
+        p_cam = jnp.einsum("mij,mj->mi", R_i, X[pt_idx]) + t_i
+        uv_hat, vis = camera.project(p_cam)
+        e2 = jnp.sum((uv_hat - uv) ** 2, axis=-1)
+        rho = c2 * jnp.log1p(jnp.minimum(e2, 1e6) / c2)
+        return jnp.sum(w_obs * jnp.where(vis, rho, cap))
 
     def step(carry, _):
-        poses, X = carry
+        poses, X, lam = carry
         R_i = poses.R[cam_idx]                    # (M, 3, 3)
         t_i = poses.t[cam_idx]
         Xj = X[pt_idx]
@@ -102,18 +128,30 @@ def bundle_adjust(
         )
         rflat = (r * sw[:, None]).reshape(-1)
 
-        H = J.T @ J + damping * jnp.eye(D)
+        H = J.T @ J + lam * jnp.eye(D)
         g = J.T @ rflat
         delta = -jnp.linalg.solve(H, g)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
 
         d_cam = delta[: 6 * (P - 1)].reshape(P - 1, 6)
         d_cam = jnp.concatenate([jnp.zeros((1, 6)), d_cam], axis=0)
-        poses = poses.retract(d_cam)
-        X = X + delta[6 * (P - 1):].reshape(N, 3)
-        return (poses, X), jnp.sum(w * e2)
+        poses_new = poses.retract(d_cam)
+        X_new = X + delta[6 * (P - 1):].reshape(N, 3)
 
-    (poses, X), costs = jax.lax.scan(step, (poses, X), None, length=iters)
+        c_old = robust_cost(poses, X)
+        c_new = robust_cost(poses_new, X_new)
+        accept = c_new < c_old
+        poses = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), poses_new, poses
+        )
+        X = jnp.where(accept, X_new, X)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-6),
+                        jnp.minimum(lam * 10.0, 1e5))
+        return (poses, X, lam), jnp.minimum(c_old, c_new)
+
+    (poses, X, _), costs = jax.lax.scan(
+        step, (poses, X, jnp.float32(damping)), None, length=iters
+    )
     return poses, X
 
 

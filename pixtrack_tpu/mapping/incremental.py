@@ -1214,6 +1214,17 @@ def incremental_sfm(
         finite = errs[errs < 1e5]
         if finite.size == 0:  # every posed observation flagged invisible
             return 0
+        # invisible (behind-camera / out-of-frame) observations bypass the
+        # 20% damage bound below — they always exceed the gate. A model
+        # where >30% of observations are invisible is globally broken
+        # (flipped poses), and mass-culling it only hides the failure as an
+        # near-empty "reconstruction"; leave it for the caller's quality
+        # gates to reject instead.
+        if errs.size - finite.size > 0.3 * errs.size:
+            if verbose:
+                print(f"cull: skipped ({errs.size - finite.size}/{errs.size} "
+                      "invisible — model inconsistent)", flush=True)
+            return 0
         gate = max(3.0 * float(np.median(finite)), 1.0)
         # never cull more than the worst 20% of observations in one round:
         # on thin scenes (tens of tracks) the 3x-median gate is a
@@ -1222,6 +1233,10 @@ def incremental_sfm(
         # per-round damage keeps the cull-retriangulate-reBA loop
         # convergent instead of destructive
         gate = max(gate, float(np.quantile(finite, 0.8)))
+        if verbose:
+            print(f"cull: {errs.size} obs ({errs.size - finite.size} "
+                  f"invisible), median {float(np.median(finite)):.2f} px, "
+                  f"gate {gate:.2f} px", flush=True)
         n_cull = 0
         for e, (tid, obs) in zip(errs, locs):
             if e > gate and obs in tracks[tid]:
@@ -1241,6 +1256,7 @@ def incremental_sfm(
         global_ba(ba_iters=15)
         if verbose:
             print(f"culled {n} observations; {len(xyz_of_track)} tracks live")
+    n_snapped = 0
     for rid in list(poses):
         o3, o2 = [], []
         for k in range(len(kps[rid])):
@@ -1249,15 +1265,41 @@ def incremental_sfm(
                 o3.append(xyz_of_track[tid])
                 o2.append(kp_ic[rid][k])
         if len(o3) >= min_pnp_points and rid != i0:
-            poses[rid] = refine_pose_reprojection(
-                poses[rid],
-                jnp.asarray(np.stack(o3), jnp.float32),
-                jnp.asarray(np.stack(o2), jnp.float32),
+            X = jnp.asarray(np.stack(o3), jnp.float32)
+            uv_obs = np.stack(o2)
+            T_new = refine_pose_reprojection(
+                poses[rid], X, jnp.asarray(uv_obs, jnp.float32),
                 jnp.ones(len(o3)), camera, iters=30, robust_c_px=3.0,
             )
+
+            # VERIFIED re-registration: robust GN on a single pose against
+            # near-planar structure has a two-fold (reflection) ambiguity,
+            # and was measured hopping to the mirror solution on dense
+            # high-recall track sets (the learned-descriptor arc rig: 9/10
+            # poses flipped, 514/516 observations left behind the camera,
+            # and the following cull round dissolved a converged
+            # median-0.18 px model to a single track). A refined pose is a
+            # hypothesis, not an answer: accept it only if it does not
+            # worsen this image's own median reprojection error.
+            def med_err(T):
+                uv, vis = camera.world2image(T, X)
+                e = np.linalg.norm(np.asarray(uv) - uv_obs, axis=1)
+                return float(np.median(np.where(np.asarray(vis), e, 1e6)))
+
+            if med_err(T_new) <= max(med_err(poses[rid]), 1e-6) * 1.5:
+                poses[rid] = T_new
+            else:
+                n_snapped += 1
+    if verbose:
+        print(f"post-PnP-refine: {len(xyz_of_track)} tracks "
+              f"({n_snapped} refinements rejected)", flush=True)
     triangulate_ready(list(poses))
+    if verbose:
+        print(f"post-retriangulate: {len(xyz_of_track)} tracks", flush=True)
     global_ba(ba_iters=25)
     triangulate_ready(list(poses))
+    if verbose:
+        print(f"post-BA25: {len(xyz_of_track)} tracks", flush=True)
     # one more cull round against the re-registered poses: re-registration
     # moves poses enough to expose observations the first rounds' gate let
     # through
