@@ -76,6 +76,55 @@ def default_detector(max_keypoints: int = 1024, **kw):
     return detect
 
 
+def default_descriptor_weights_path() -> Path:
+    """The shipped dense-descriptor checkpoint (assets/dense_descriptor.npz),
+    overridable via PIXTRACK_DENSE_DESCRIPTOR_WEIGHTS."""
+    env = os.environ.get("PIXTRACK_DENSE_DESCRIPTOR_WEIGHTS")
+    if env:
+        return Path(env)
+    return (Path(__file__).resolve().parents[2] / "assets"
+            / "dense_descriptor.npz")
+
+
+def default_descriptor(max_keypoints: int = 1024, **kw):
+    """The learned SfM feature extractor (CLI ``reconstruct --detector
+    dense``): Harris keypoints DESCRIBED by the InfoNCE-trained half-res
+    dense descriptor (mapping/dense_descriptor.py). Beats patch+MNN on
+    the held-out mesh MATCHING gate (assets/dense_descriptor_eval.json:
+    4499 vs 2292 correct matches, precision 0.688 vs 0.569, 2x recall)
+    and lands inside the arc-rig rotation gate (0.879 deg, gate 0.92),
+    but its denser track graph regresses camera centers there (0.459 vs
+    0.065 median center frac) — so the classical patch stack remains the
+    `reconstruct` default; see the eval json's ``arc_sfm`` section.
+    Returns None if no checkpoint ships.
+
+    The returned callable carries ``.match_kw`` — the matcher operating
+    point the descriptor was accepted at (cosine-score distributions
+    differ per descriptor family, so thresholds ship WITH the weights).
+    """
+    path = default_descriptor_weights_path()
+    if not path.exists():
+        return None
+    from pixtrack_tpu.mapping.dense_descriptor import (
+        describe_at_dense,
+        load_descriptor_weights,
+    )
+    from pixtrack_tpu.mapping.detector import detect_keypoints
+
+    _, params = load_descriptor_weights(path)
+
+    def detect(image, max_keypoints=max_keypoints, **kw2):
+        merged = {**kw, **kw2}
+        kp, sc = detect_keypoints(image, max_keypoints=max_keypoints,
+                                  **merged)
+        return kp, sc, describe_at_dense(params, image, kp)
+
+    detect.desc_dim = 128
+    detect.name = "harris+dense"
+    detect.match_kw = dict(min_score=0.1, ratio=0.98)
+    return detect
+
+
 __all__ = [
     "detect_keypoints",
     "describe_keypoints",

@@ -325,10 +325,30 @@ def _cmd_reconstruct(args):
         1, "SIMPLE_RADIAL", w, h,
         np.array([float(cam.f[0]), w / 2.0, h / 2.0, 0.0]),
     )
-    # learned detector (the SuperPoint-weights role): trained checkpoint
-    # when shipped (auto), else the multi-scale Harris fallback
+    # learned detector/descriptor (the SuperPoint-weights role).
+    # `auto` keeps the classical Harris+patch stack: the shipped InfoNCE
+    # dense descriptor (`--detector dense`) WINS raw matching on the
+    # held-out mesh gate (2x recall at +12pt precision,
+    # assets/dense_descriptor_eval.json) and lands inside the arc-rig
+    # rotation gate (0.879 deg vs gate 0.92), but its denser high-recall
+    # track graph measurably regresses camera CENTERS on that rig (0.459
+    # vs 0.065 median center frac) — the classical stack stays default
+    # until the learned one wins end-to-end, not just at matching.
     detector = None
-    if args.detector != "harris":
+    match_kw = dict(min_score=0.5, ratio=0.98)
+    if args.detector == "dense":
+        from pixtrack_tpu.mapping import default_descriptor
+
+        detector = default_descriptor()
+        if detector is None:
+            raise SystemExit(
+                "no dense-descriptor checkpoint (assets/dense_descriptor"
+                ".npz or PIXTRACK_DENSE_DESCRIPTOR_WEIGHTS); train one "
+                "with scripts_dev/train_dense_descriptor.py or use "
+                "--detector harris"
+            )
+        match_kw = dict(detector.match_kw)
+    elif args.detector != "harris":
         from pixtrack_tpu.mapping import default_detector
 
         detector = default_detector()
@@ -377,7 +397,7 @@ def _cmd_reconstruct(args):
         verbose=args.verbose,
         max_keypoints=args.max_keypoints,
         nms_radius=nms,
-        match_kw=dict(min_score=0.5, ratio=0.98),
+        match_kw=match_kw,
         featuremetric_ka=not args.no_featuremetric,
         # final featuremetric BA polish (pixsfm BA role); rounds=2 is the
         # measured optimum on the arc rig (0.915 -> 0.837 deg)
@@ -555,11 +575,14 @@ def main(argv=None):
                    help="pair matcher: trained attention matcher if its "
                         "checkpoint ships (auto), mutual-NN+ratio (nn), or "
                         "require the learned one (learned)")
-    s.add_argument("--detector", choices=("auto", "harris", "superpoint"),
+    s.add_argument("--detector",
+                   choices=("auto", "harris", "superpoint", "dense"),
                    default="auto",
                    help="keypoint detector: trained SuperPoint if its "
                         "checkpoint ships (auto), multi-scale Harris "
-                        "(harris), or require SuperPoint (superpoint)")
+                        "(harris), require SuperPoint (superpoint), or "
+                        "Harris keypoints + the shipped InfoNCE dense "
+                        "descriptor (dense)")
     s.set_defaults(fn=_cmd_reconstruct)
 
     s = sub.add_parser("sfm-from-obj",
