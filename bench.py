@@ -315,17 +315,45 @@ def mesh_world(camera) -> dict:
     testbed.n_coarse, testbed.n_fine = 48, 0
     testbed.tighten_render_bounds()
 
-    # GT query orbit: ring at the mapping-rig distance around the mesh
-    # center, same inter-frame motion as the blob world (0.02 rad/frame)
+    # GT query orbit: STARTS AT the upright mapping view's pose and orbits
+    # from there at the blob world's inter-frame motion (0.02 rad/frame).
+    # Protocol parity with the reference: tracking begins near
+    # UPRIGHT_REF_IMG (r9:77-78 bootstraps the first frame from it) — a
+    # cold start tens of degrees away from EVERY mapping view (the
+    # icosphere rig's views are ~33 deg apart) is outside the reference's
+    # operating envelope too, and was measured unrecoverable here.
     V = mesh["vertices"]
     center = V.mean(axis=0)
-    radius = float(np.linalg.norm(V - center, axis=1).max())
-    dist = radius * 2.8
+    want_el = 0.35
+    best, v0 = None, None
+    for i in scene.image_ids:
+        T_i = scene.pose_w2c(int(i))
+        c = np.asarray(T_i.inv().t)  # camera center
+        v = c - center
+        el_i = float(np.arcsin(v[1] / np.linalg.norm(v)))
+        # skip rotation-AUGMENTED entries (aug_sfm holds every mapping view
+        # rolled in 30 deg steps at the same camera center): require the
+        # stored orientation to match the rig's own look-at convention, or
+        # the cold start begins up to 180 deg rolled and locks a false
+        # basin on the repetitive texture (measured: rot med 122 deg with
+        # the cost gate reporting success)
+        roll_dev = float(np.rad2deg(
+            T_i.geodesic_to(look_at_w2c(c, target=center))
+        ))
+        if roll_dev > 5.0:
+            continue
+        if best is None or abs(el_i - want_el) < best[0]:
+            best = (abs(el_i - want_el), int(i))
+            v0 = v
+    upright = scene.images[best[1]].name
+    dist = float(np.linalg.norm(v0))
+    ang0 = float(np.arctan2(v0[0], v0[2]))
+    el0 = float(np.arcsin(v0[1] / dist))
     n_frames = 20
     gt_poses = []
     for i in range(n_frames + 1):
-        ang = 0.25 + 0.02 * i
-        el = 0.35 + 0.05 * np.sin(0.4 * i)
+        ang = ang0 + 0.02 * i
+        el = el0 + 0.05 * np.sin(0.4 * i)
         eye = center + dist * np.array(
             [np.cos(el) * np.sin(ang), np.sin(el), np.cos(el) * np.cos(ang)]
         )
@@ -337,14 +365,6 @@ def mesh_world(camera) -> dict:
          render_mesh(mesh, T, camera, background=(0.0, 0.0, 0.0)))
         for i, T in enumerate(gt_poses)
     ]
-
-    # upright reference = the mapping view nearest the orbit start
-    g0 = gt_poses[0]
-    best = min(
-        (int(i) for i in scene.image_ids),
-        key=lambda i: float(g0.geodesic_to(scene.pose_w2c(i))),
-    )
-    upright = scene.images[best].name
 
     extractor = default_extractor(resize=1024)
     tracker = PixTrackTracker(

@@ -205,6 +205,34 @@ def occupancy_grid(field: NGPField, params, res: int = 128,
     return occ
 
 
+def main_component(occ: np.ndarray, dilate: int = 2) -> np.ndarray:
+    """Largest connected component of an occupancy grid, re-dilated.
+
+    Short-trained hash fields grow floaters: disconnected density blobs
+    away from the object that (a) eat distillation capacity, (b) haze the
+    rendered tracking templates (measured on the mesh benchmark world: the
+    floater halo plus the capacity loss cost the distilled student ~4 dB in
+    the object region and broke the tracker's cold start). The object is by
+    construction the largest occupied component — keep it, drop the rest.
+    Uses 26-connectivity so the 1-cell-dilated grid from occupancy_grid
+    does not split diagonal contacts."""
+    from scipy import ndimage
+
+    labels, n = ndimage.label(occ, structure=np.ones((3, 3, 3), bool))
+    if n <= 1:
+        keep = occ.copy()
+    else:
+        sizes = ndimage.sum_labels(occ, labels, index=np.arange(1, n + 1))
+        keep = labels == (1 + int(np.argmax(sizes)))
+    for _ in range(dilate):
+        g = keep.copy()
+        g[1:] |= keep[:-1]; g[:-1] |= keep[1:]
+        g[:, 1:] |= keep[:, :-1]; g[:, :-1] |= keep[:, 1:]
+        g[:, :, 1:] |= keep[:, :, :-1]; g[:, :, :-1] |= keep[:, :, 1:]
+        keep = g
+    return keep
+
+
 def bake(
     field: NGPField,
     params,

@@ -188,9 +188,15 @@ def distill(
     config: DistillConfig = DistillConfig(),
     teacher_chunk: int = 1 << 19,
     log_every: int = 0,
+    density_mask: Optional[np.ndarray] = None,
 ) -> DistilledField:
     """Fit a DistilledField to any teacher exposing ``apply(params, x, d,
-    method=NGPField.field_T)`` (NGPField, BakedField, or analytic)."""
+    method=NGPField.field_T)`` (NGPField, BakedField, or analytic).
+
+    ``density_mask``: optional (R, R, R) bool grid (indexed [x, y, z] like
+    occupancy_grid's output); teacher density is clamped to ZERO outside it
+    before fitting. Used with baked.main_component to erase floaters from
+    the student instead of spending MLP capacity reproducing them."""
     import optax
 
     k_data, k_dir, k_init, k_iter = jax.random.split(key, 4)
@@ -198,7 +204,26 @@ def distill(
     # ---- one-time teacher dataset ------------------------------------------
     N = config.dataset_size
     x = _sample_points(k_data, N, aabb, occ, config.surface_frac)
-    d = jax.random.normal(k_dir, (3, N))
+    # Directions are CAMERA-LIKE rays (eye outside the object looking at
+    # the sample), not uniform random: the NGP color head is view-dependent
+    # (SH deg-4) and only trained on the mapping rig's outward-facing rays,
+    # so a uniform direction queries its untrained extrapolation — the
+    # teacher returns noise there and the student spends its capacity
+    # fitting that mixture instead of the texture (measured on the mesh
+    # benchmark world: uniform-direction distills plateaued at 15-17 dB in
+    # the object region with all texture lost, while the hash teacher holds
+    # 24.3 dB; render-time rays are always outside-in, so this is also the
+    # only direction cone the student is ever evaluated in).
+    k_eye = jax.random.split(k_dir)[0]
+    ctr = 0.5 * (jnp.asarray(aabb[0], jnp.float32)
+                 + jnp.asarray(aabb[1], jnp.float32))
+    half_diag = 0.5 * jnp.linalg.norm(
+        jnp.asarray(aabb[1], jnp.float32) - jnp.asarray(aabb[0], jnp.float32)
+    )
+    u = jax.random.normal(k_eye, (3, N))
+    u = u / jnp.maximum(jnp.linalg.norm(u, axis=0, keepdims=True), 1e-9)
+    eye = ctr[:, None] + 2.5 * half_diag * u
+    d = x - eye
     d = d / jnp.maximum(jnp.linalg.norm(d, axis=0, keepdims=True), 1e-9)
     sig = np.empty(N, np.float32)
     rgb = np.empty((3, N), np.float32)
@@ -211,6 +236,10 @@ def distill(
         rgb[:, s : s + teacher_chunk] = np.asarray(rr)
     x = np.asarray(x)
     d = np.asarray(d)
+    if density_mask is not None:
+        res = density_mask.shape[0]
+        ix = np.clip((x * res).astype(np.int64), 0, res - 1)
+        sig = np.where(density_mask[ix[0], ix[1], ix[2]], sig, 0.0)
     log_sig = np.log1p(sig)
     # occupied-space samples matter most for rendering
     occupied = (sig > 0.01).astype(np.float32)
@@ -265,6 +294,101 @@ def distill(
         )
         if log_every and (i + 1) % log_every == 0:
             print(f"distill step {i+1}: loss {float(last):.5f}", flush=True)
+    return student
+
+
+def finetune_photometric(
+    student: DistilledField,
+    dataset,
+    aabb,
+    steps: int = 3000,
+    batch_rays: int = 1 << 13,
+    n_coarse: int = 64,
+    lr: float = 1e-3,
+    lr_final: float = 1e-4,
+    background: str = "white",
+    ray_pool_cap: int = 1 << 21,
+    seed: int = 0,
+    log_every: int = 0,
+) -> DistilledField:
+    """Ray-space fine-tune of a distilled student on the captured mapping
+    images (a NerfDataset) — run AFTER the point-space ``distill``.
+
+    Point-space distillation regresses (sigma, rgb) at sample positions,
+    but render fidelity depends on where along each RAY the student's
+    density transition sits: a surface crust registered a voxel or two off
+    the teacher's composites the crust color at the wrong depth and the
+    surface texture smears (measured on the striped mesh benchmark world:
+    point-distilled students plateau at 15-17 dB in the object region
+    regardless of octaves/steps/sampling while the hash teacher holds
+    23-24 dB). Rendering the student through the production volume
+    renderer and matching the captured pixels optimizes exactly what the
+    tracker consumes — the same train-through-the-consumer recipe as
+    features/train_basin.py.
+
+    TPU notes: single-dispatch steps (no scan — see nerf/train.py), fused
+    Pallas render path disabled (training needs the differentiable staged
+    path; inference keeps the fused kernel)."""
+    import optax
+
+    origins, dirs, rgbs = dataset.all_rays()
+    if ray_pool_cap and origins.shape[0] > ray_pool_cap:
+        # foreground-weighted pool cap (same rationale + recipe as
+        # nerf.train.train: a few-million-ray pool is statistically
+        # equivalent and the tunnel transfer is the real cost)
+        rng_pool = np.random.default_rng(seed + 2)
+        bgv = 1.0 if background == "white" else 0.0
+        is_fg = np.abs(np.asarray(rgbs) - bgv).max(axis=1) > 0.02
+        fg_idx = np.nonzero(is_fg)[0]
+        bg_idx = np.nonzero(~is_fg)[0]
+        n_fg = min(len(fg_idx), int(ray_pool_cap * 0.8))
+        n_bg = ray_pool_cap - n_fg
+        sel = np.concatenate([
+            rng_pool.choice(fg_idx, n_fg, replace=False)
+            if len(fg_idx) > n_fg else fg_idx,
+            rng_pool.choice(bg_idx, min(n_bg, len(bg_idx)), replace=False),
+        ])
+        origins, dirs, rgbs = origins[sel], dirs[sel], rgbs[sel]
+    origins = jnp.asarray(origins, jnp.float32)
+    dirs = jnp.asarray(dirs, jnp.float32)
+    rgbs = jnp.asarray(rgbs, jnp.float32)
+    n_rays = origins.shape[0]
+    aabb_j = jnp.asarray(aabb, jnp.float32)
+    bg = 1.0 if background == "white" else 0.0
+
+    from pixtrack_tpu.nerf.render import RenderConfig, render_rays
+
+    rcfg = RenderConfig(
+        n_coarse=n_coarse, n_fine=0, perturb=True, fused=False,
+        min_transmittance=1e-4, chunk=batch_rays,
+    )
+
+    sched = optax.exponential_decay(lr, steps, lr_final / lr)
+    opt = optax.adam(sched)
+    opt_state = opt.init(student)
+
+    def loss_fn(st, o, d, target, k):
+        out = render_rays(st, None, o, d, aabb_j, rcfg, key=k)
+        pred = out["rgb"] + (1.0 - out["alpha"][:, None]) * bg
+        return jnp.mean((pred - target) ** 2)
+
+    @jax.jit
+    def step(st, opt_state, key):
+        k_idx, k_render = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (batch_rays,), 0, n_rays)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            st, origins[idx], dirs[idx], rgbs[idx], k_render
+        )
+        updates, opt_state = opt.update(grads, opt_state)
+        st = optax.apply_updates(st, updates)
+        return st, opt_state, loss
+
+    key = jax.random.PRNGKey(seed)
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        student, opt_state, last = step(student, opt_state, k)
+        if log_every and (i + 1) % log_every == 0:
+            print(f"finetune step {i+1}: loss {float(last):.6f}", flush=True)
     return student
 
 

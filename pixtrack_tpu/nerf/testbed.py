@@ -119,22 +119,52 @@ class Testbed:
         self._baked = _bake(self.field, self.params)
         self._render_cache.clear()
 
-    def distill(self, key=None, config=None, seed: int = 0) -> None:
+    def distill(self, key=None, config=None, seed: int = 0,
+                clean_floaters: bool = True, finetune_dataset=None,
+                finetune_steps: int = 3000) -> None:
         """Replace the render field with an MXU-only distilled MLP
         (~10-30x the baked render throughput; see nerf/distill.py). Runs a
-        few minutes of offline fitting against the current field."""
-        from pixtrack_tpu.nerf.baked import occupancy_grid
+        few minutes of offline fitting against the current field.
+
+        ``clean_floaters`` (default): clamp teacher density to zero outside
+        the largest connected occupancy component, so disconnected floater
+        blobs of a short-trained field are erased from the student instead
+        of consuming its capacity (a no-op on clean single-component
+        fields; see baked.main_component for the measured motivation).
+
+        ``finetune_dataset``: optional NerfDataset (the NeRF training
+        capture). When given, the point-distilled student is fine-tuned in
+        RAY space against the captured pixels (distill.finetune_photometric)
+        — on high-frequency textures this is the difference between a
+        usable template and mush (mesh benchmark world: object-region
+        PSNR 15.3 -> 22.7 dB, vs the hash teacher's 23.0)."""
+        from pixtrack_tpu.nerf.baked import (
+            main_component,
+            occupancy_grid,
+        )
         from pixtrack_tpu.nerf.distill import DistillConfig, distill as _distill
 
         teacher = self._baked if self._baked is not None else self.field
         tparams = None if self._baked is not None else self.params
         occ = occupancy_grid(teacher, tparams)
+        mask = None
+        if clean_floaters and occ.any():
+            mask = main_component(occ)
+            occ = occ & mask
         aabb = np.asarray([self.render_aabb.min, self.render_aabb.max],
                           np.float32)
         if key is None:
             key = jax.random.PRNGKey(seed)
         self._baked = _distill(teacher, tparams, key, aabb, occ=occ,
-                               config=config or DistillConfig())
+                               config=config or DistillConfig(),
+                               density_mask=mask)
+        if finetune_dataset is not None:
+            from pixtrack_tpu.nerf.distill import finetune_photometric
+
+            self._baked = finetune_photometric(
+                self._baked, finetune_dataset, aabb, steps=finetune_steps,
+                seed=seed + 1,
+            )
         self._render_cache.clear()
 
     def tighten_render_bounds(
