@@ -14,6 +14,21 @@ sweeps the knobs that could close it, on the real TPU chip:
               difference vs openloop = NeRF fidelity cost
 
 Usage: python scripts_dev/mesh_bench_experiment.py [variant ...]
+
+Measured (TPU chip, 2026-08-21):
+  closed r1 (bench baseline)  ADD AUC 0.685  ADD-S 0.750  rot med 1.63
+      center med 0.037d  ok 18/20  41.4 FPS   <- ships (>=30 FPS gate)
+  closed r2 (refine_rounds=2) ADD AUC 0.732  ADD-S 0.781  rot med 1.79
+      center med 0.044d  ok 17/20  22.6 FPS   <- +0.05 AUC but FAILS the
+      30 FPS gate (re-render + second LM pass double the frame cost,
+      iters 119 vs 60); not shipped
+  coarse96: setting testbed.n_coarse after FusedSteadyStep construction
+      does not propagate (numbers bit-identical to r1) — the step
+      captures the render config at build time; rebuild the step to
+      sweep sampling.
+  Both variants share the same single rot-excursion frame (max 23 deg,
+  cost-gated as failure) — the drift driver is one hard viewpoint, not
+  accumulation; the adaptive gate correctly flags it.
 """
 
 import json as _json
